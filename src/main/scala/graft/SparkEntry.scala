@@ -1,13 +1,167 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernels.{Metrics, TopK}
+import graft.model.PprConfig
+import graft.operators._
+import graft.sources.EdgeSource
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), with a DuckDB-equivalent `oracleSql` for every
+  * SQL-expressible one. Graph queries run over the deterministic
+  * lineitem-derived edge table (src = l_partkey, dst = l_suppkey,
+  * deduplicated — FIXTURES.md §6).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def graph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val edges = EdgeSource.fromLineitem(s, dir)
+    (edges, EdgeSource.vertices(edges))
+  }
+
+  /** Flagship query on sf=0.001: GRank top-K PPR baskets over the
+    * lineitem-derived link graph; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val (edges, vertices) = graph(spark, "/root/testdata/sf0.001")
+    GRank.run(edges, vertices, PprConfig(K = 10, L = 20, iterations = 5, tolerance = 1e-3))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- sources / relational building blocks (S1, §2.7) ----------------
+    "q_edges_dedup" -> ((s, dir) => EdgeSource.fromLineitem(s, dir)),
+    "q_vertices" -> ((s, dir) => graph(s, dir)._2),
+    "q_degrees" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      EdgeSource.outDegrees(e, v).join(EdgeSource.inDegrees(e, v), Seq("id"))
+    }),
+    // ---- keepTop kernel (K1) against a SQL window oracle ------------------
+    "q_topk_per_seed" -> ((s, dir) => {
+      val state = t(s, dir, "orders").select(
+        col("o_custkey").as("seed"), col("o_orderkey").as("node"),
+        col("o_totalprice").as("score"))
+      TopK.pruneTopL(state, 3).select(col("seed"), col("node"))
+    }),
+    // ---- jaccard kernel (K3): 1995 vs 1996 order-sets per customer --------
+    "q_jaccard_sets" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.where(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey").as("seed"), col("o_orderkey").as("node"))
+      val b = o.where(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey").as("seed"), col("o_orderkey").as("node"))
+      Metrics.jaccardPerSeed(a, b).select(col("seed"), col("jaccard"))
+    }),
+    // ---- norm1 kernel (K2): order-count vectors 1995 vs 1996 --------------
+    "q_norm1" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def v(y: Int) = o.where(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as("node"))
+        .agg(count(lit(1)).cast("double").as("score"))
+        .select(lit(0L).as("seed"), col("node"), col("score"))
+      Metrics.norm1PerSeed(v(1995), v(1996))
+        .select(col("norm1").cast("long").as("norm1"))
+    }),
+    // ---- triangle count ----------------------------------------------------
+    "q_triangle_count" -> ((s, dir) => Triangles.countAll(graph(s, dir)._1)),
+    // ---- iterative graph operators (no SQL equivalent; rows-only check) ----
+    "q_exact_ppr" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      val seeds = v.orderBy(col("id")).limit(10)
+      ExactPpr.run(e, seeds, iterations = 30, damping = 0.85, tolerance = 1e-4)
+    }),
+    "q_grank" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      GRank.run(e, v, PprConfig(K = 10, L = 20, iterations = 6, tolerance = 1e-3))
+    }),
+    "q_mc_ppr" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      MonteCarloPpr.run(e, v, PprConfig(K = 10, L = 20, iterations = 30))
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      PageRank.run(e, v, iterations = 40, tolerance = 1e-8)
+    }),
+    "q_connected_components" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      Components.connectedComponents(e, v)
+    }),
+    "q_label_propagation" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      Components.labelPropagation(e, v, rounds = 4)
+    }),
+    "q_two_coloring" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      Components.twoColoring(e, v)
+    }),
+    "q_quality_harness" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      val approx = GRank.run(e, v, PprConfig(K = 10, L = 20, iterations = 8, tolerance = 1e-3))
+      Quality.evaluate(approx, e, v, testNodes = 20, strict = true)
+    }),
+    // ---- text / documents ---------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+        .select(col("keep_id"), col("copies"))),
+    "q_doc_lengths" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), length(col("text")).cast("long").as("text_len"))),
+    // ---- events -----------------------------------------------------------
+    "q_events_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("h")).as("hour_epoch"), col("event_type"), col("n"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_edges_dedup" ->
+      "SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem",
+    "q_vertices" ->
+      """SELECT DISTINCT id FROM
+        | (SELECT l_partkey AS id FROM lineitem UNION SELECT l_suppkey AS id FROM lineitem)""".stripMargin,
+    "q_degrees" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        | v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        | o AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1),
+        | i AS (SELECT dst AS id, count(*) AS indeg FROM e GROUP BY 1)
+        |SELECT v.id AS id, coalesce(o.outdeg, 0) AS outdeg, coalesce(i.indeg, 0) AS indeg
+        |FROM v LEFT JOIN o USING(id) LEFT JOIN i USING(id)""".stripMargin,
+    "q_topk_per_seed" ->
+      """SELECT seed, node FROM (
+        | SELECT o_custkey AS seed, o_orderkey AS node,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_jaccard_sets" ->
+      """WITH a AS (SELECT o_custkey AS seed, o_orderkey AS node FROM orders WHERE year(o_orderdate) = 1995),
+        | b AS (SELECT o_custkey AS seed, o_orderkey AS node FROM orders WHERE year(o_orderdate) = 1996),
+        | ca AS (SELECT seed, count(*) AS na FROM a GROUP BY 1),
+        | cb AS (SELECT seed, count(*) AS nb FROM b GROUP BY 1),
+        | ci AS (SELECT a.seed AS seed, count(*) AS ni FROM a JOIN b ON a.seed = b.seed AND a.node = b.node GROUP BY 1),
+        | u AS (SELECT seed FROM ca UNION SELECT seed FROM cb)
+        |SELECT u.seed AS seed,
+        | CASE WHEN coalesce(na,0) + coalesce(nb,0) = 0 THEN 1.0
+        |      ELSE CAST(coalesce(ni,0) AS DOUBLE) / CAST(coalesce(na,0) + coalesce(nb,0) - coalesce(ni,0) AS DOUBLE) END AS jaccard
+        |FROM u LEFT JOIN ca USING(seed) LEFT JOIN cb USING(seed) LEFT JOIN ci USING(seed)""".stripMargin,
+    "q_norm1" ->
+      """WITH a AS (SELECT o_custkey AS node, count(*) AS s FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        | b AS (SELECT o_custkey AS node, count(*) AS s FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+        |SELECT CAST(sum(abs(coalesce(a.s,0) - coalesce(b.s,0))) AS BIGINT) AS norm1
+        |FROM a FULL OUTER JOIN b USING(node)""".stripMargin,
+    "q_triangle_count" ->
+      """WITH e AS (SELECT DISTINCT least(l_partkey, l_suppkey) AS a, greatest(l_partkey, l_suppkey) AS b
+        |           FROM lineitem WHERE l_partkey <> l_suppkey)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    "q_dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text",
+    "q_doc_lengths" ->
+      "SELECT doc_id, length(text) AS text_len FROM documents",
+    "q_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
 }

@@ -1,0 +1,55 @@
+package graft.model
+
+/** Canonical relational shapes of the engine (SURVEY.md §1.2).
+  *
+  * The reference (fruttasecca/approximated_personalized_pagerank) models a
+  * directed graph as `unordered_map<Key, vector<Key>>` (include/grank.h:27-43)
+  * and PPR state as `map<source, map<node, double>>` (include/grank.h:60-61).
+  * The Spark-native engine flattens both into relations:
+  *   - graph      -> edges(src LONG, dst LONG), vertices(id LONG)
+  *   - PPR state  -> state(seed LONG, node LONG, score DOUBLE)
+  * so every kernel is a join/aggregate Catalyst can optimize.
+  */
+final case class Edge(src: Long, dst: Long)
+
+final case class Vertex(id: Long)
+
+/** One entry of a per-seed score basket (the relational unnesting of the
+  * reference's `map<source, map<node,double>>`). */
+final case class ScoreEntry(seed: Long, node: Long, score: Double)
+
+/** (node, score) pair used by the top-L aggregators. */
+final case class NodeScore(node: Long, score: Double)
+
+/** Shared parameters of the approximated-PPR algorithms.
+  *
+  * Mirrors the template-parameter validation contract of the reference
+  * (include/grank.h:51-57, include/mccompletepathv2.h:190-194):
+  * K>0, L>0, K<=L, iterations>0, damping in [0,1]; a negative tolerance
+  * means "never converge early".
+  */
+final case class PprConfig(
+    K: Int,
+    L: Int,
+    iterations: Int,
+    damping: Double = 0.85,
+    tolerance: Double = 1e-4,
+    // engine knobs (no reference analog: physical execution)
+    /** true: single-shuffle fused sum+topL aggregation per superstep;
+      * false: hash-agg by (seed,node) then bounded-heap topL by seed
+      * (two shuffles, strictly bounded memory — the 100TB-safe path). */
+    fusedTopL: Boolean = true,
+    /** in-degree above which gather-join keys are salted (0 = off). */
+    saltThreshold: Int = 0,
+    /** number of salt buckets for skewed keys. */
+    saltBuckets: Int = 8,
+    /** write a parquet snapshot + manifest every N supersteps (0 = off). */
+    checkpointEvery: Int = 0,
+    checkpointDir: Option[String] = None) {
+
+  require(K > 0, "k must be > 0")
+  require(L > 0, "l must be > 0")
+  require(K <= L, "k can't be greater than l")
+  require(iterations > 0, "iterations must be > 0")
+  require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.EdgeSource
+
+/** Exact single-source personalized PageRank power iteration — the
+  * correctness oracle (include/internal/pprSingleSource.h:29-75), batched
+  * over many seeds at once (seed is just another grouping column).
+  *
+  * Semantics preserved exactly:
+  *  - init: scores = {source: 1.0}                      (:46)
+  *  - each iteration: next = {source: 1-d}              (:53-54)
+  *    plus, for every (node,score), push score*d/outdeg(node) to each
+  *    successor                                          (:57-65)
+  *  - stop when L1(old,new) < tolerance or max iterations (:48-49,69)
+  *  - DANGLING MASS LEAKS: a node with no successors pushes nothing; its
+  *    mass is NOT redistributed (deliberate; test/internal/
+  *    pprSingleSourceTest.cc:44-54 — an isolated node keeps {v: 0.15}).
+  */
+object ExactPpr {
+
+  def run(
+      edges: DataFrame,
+      seeds: DataFrame, // (id LONG)
+      iterations: Int = 100,
+      damping: Double = 0.85,
+      tolerance: Double = 1e-4): DataFrame = {
+    require(iterations > 0, "iterations must be > 0")
+    require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
+
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // adjacency with the push factor d/outdeg(src), reused every superstep
+    val adj = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), (lit(damping) / col("outdeg")).as("factor"))
+      .persist()
+
+    val init = seeds.select(col("id").as("seed"), col("id").as("node"), lit(1.0).as("score"))
+    val teleport = seeds
+      .select(col("id").as("seed"), col("id").as("node"), lit(1.0 - damping).as("score"))
+      .persist()
+
+    def superstep(state: DataFrame, i: Int): DataFrame =
+      state.join(adj, state("node") === adj("src"))
+        .select(col("seed"), col("dst").as("node"), (col("score") * col("factor")).as("score"))
+        .union(teleport)
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("score")).as("score"))
+
+    val res = IterativeEngine.run(init, superstep, iterations, tolerance)
+    adj.unpersist(); // teleport stays referenced by the lazily-evaluated result
+    res.state
+  }
+
+  /** Single seed convenience (the reference's actual signature). */
+  def single(edges: DataFrame, vertices: DataFrame, source: Long,
+      iterations: Int = 100, damping: Double = 0.85, tolerance: Double = 1e-4): DataFrame =
+    run(edges, vertices.where(col("id") === source), iterations, damping, tolerance)
+}

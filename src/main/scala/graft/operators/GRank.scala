@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernels.TopK
+import graft.model.PprConfig
+import graft.sources.EdgeSource
+
+/** GRank — iterative all-sources approximated personalized PageRank
+  * (include/grank.h:43-149), re-expressed as a relational fixpoint:
+  *
+  *   PR_s(i) = d * sum_{j in Succ(s)} PR_j(i) / outdeg(s) + (1-d)*[s=i]
+  *   (thesis Eq. 4.2; gather loop include/grank.h:96-126)
+  *
+  * Superstep = one sparse SpMV on the seed axis:
+  *   state(seed=j, node=i, score) JOIN adj(src=s, dst=j, factor=d/outdeg(s))
+  *     ON seed = dst
+  *   -> project (seed=s, node=i, score*factor)
+  *   -> UNION per-seed teleport rows (s, s, 1-d)        (grank.h:100-101)
+  *   -> per-seed exact sum + top-L prune                (grank.h:115,119)
+  * Convergence: max over seeds of L1(old basket, new basket) < tolerance
+  * (grank.h:92,123); negative tolerance never converges early (grank.h:56).
+  * Final result truncated to top-K per seed (grank.h:143-147).
+  *
+  * Scale machinery (no reference analog — physical execution, SURVEY.md §4):
+  *  - adjacency is shuffled ONCE (hash-partitioned by `dst`, the join key)
+  *    and persisted; every superstep's join reuses that partitioning.
+  *  - explicit skew handling: gather-join keys whose in-degree exceeds
+  *    `cfg.saltThreshold` are split into `cfg.saltBuckets` salted copies
+  *    (adjacency side salted by hash(src); the <=L state rows of hub seeds
+  *    are replicated per bucket), re-merged by the following aggregation.
+  *  - top-L pruning keeps the shuffled state <= |V|*L rows (the core
+  *    approximation, thesis §4.1: O(|E|*L*I)).
+  *
+  * Deliberate deviations from the reference, both documented in SURVEY.md §7.4:
+  *  - ties at the top-L cut break by node asc (reference: nth_element
+  *    arbitrary) so results are invariant under parallelism.
+  *  - the partition-alternating schedule (grank.h:85,96,129-137) is a
+  *    single-machine wall-clock optimization that leaves the fixpoint
+  *    unchanged (thesis §4.1.1); the engine runs the synchronous schedule,
+  *    whose per-superstep work Spark already spreads across executors.
+  */
+object GRank {
+
+  /** @return converged state truncated to top-K: (seed, node, score). */
+  def run(edges: DataFrame, vertices: DataFrame, cfg: PprConfig): DataFrame =
+    runWithMetrics(edges, vertices, cfg).state
+
+  def runWithMetrics(edges: DataFrame, vertices: DataFrame, cfg: PprConfig): IterativeEngine.Result = {
+    val spark = edges.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val salted = cfg.saltThreshold > 0
+
+    // CSR-like layout: one shuffle up front, reused by every superstep's join
+    val adjBase = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), (lit(cfg.damping) / col("outdeg")).as("factor"))
+    val adj = (if (salted) {
+      val hubs = edges.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+        .where(col("indeg") > cfg.saltThreshold)
+        .select(col("dst").as("hub"))
+      adjBase.join(broadcast(hubs), adjBase("dst") === hubs("hub"), "left")
+        .select(col("src"), col("dst"), col("factor"),
+          when(col("hub").isNotNull, pmod(xxhash64(col("src")), lit(cfg.saltBuckets)))
+            .otherwise(lit(0L)).cast("int").as("salt"))
+        .repartition(shufflePartitions, col("dst"), col("salt"))
+    } else {
+      adjBase.withColumn("salt", lit(0))
+        .repartition(shufflePartitions, col("dst"))
+    }).persist()
+    val hubSeeds =
+      if (salted)
+        adj.where(col("salt") > 0).select(col("dst").as("hub")).distinct().persist()
+      else null
+
+    val teleport = vertices
+      .select(col("id").as("seed"), col("id").as("node"), lit(1.0 - cfg.damping).as("score"))
+      .persist()
+
+    // G2 state init: self teleport + one-hop scatter, pruned to L
+    // (include/grank.h:64-83; += on duplicates handles self-loops)
+    val init = TopK.pruneTopL(
+      teleport.union(
+        edges.join(outdeg, "src")
+          .select(col("src").as("seed"), col("dst").as("node"),
+            (lit(cfg.damping) / col("outdeg")).as("score"))),
+      cfg.L, cfg.fusedTopL)
+
+    def gather(state: DataFrame): DataFrame = {
+      val st =
+        if (salted)
+          state.join(broadcast(hubSeeds), state("seed") === hubSeeds("hub"), "left")
+            .select(col("seed"), col("node"), col("score"),
+              explode(when(col("hub").isNotNull,
+                sequence(lit(0), lit(cfg.saltBuckets - 1)))
+                .otherwise(array(lit(0)))).as("salt"))
+        else state.withColumn("salt", lit(0))
+      st.join(adj, st("seed") === adj("dst") && st("salt") === adj("salt"))
+        .select(col("src").as("seed"), col("node"),
+          (col("score") * col("factor")).as("score"))
+    }
+
+    def superstep(state: DataFrame, i: Int): DataFrame =
+      TopK.pruneTopL(gather(state).union(teleport), cfg.L, cfg.fusedTopL)
+
+    val checkpoint = cfg.checkpointDir.map(new CheckpointManager(_))
+    val res = IterativeEngine.run(init, superstep, cfg.iterations, cfg.tolerance,
+      cfg.checkpointEvery, checkpoint, resume = checkpoint.exists(_.committed().nonEmpty))
+
+    val finalState = TopK.topKWindow(res.state, cfg.K) // G6, grank.h:143-147
+    adj.unpersist(); teleport.unpersist()
+    if (hubSeeds != null) hubSeeds.unpersist()
+    IterativeEngine.Result(finalState, res.history)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.kernels.Metrics
+
+/** Per-superstep metrics row (checkpoint manifest + BENCH evidence). */
+final case class IterMetrics(iteration: Int, maxDiff: Double, rows: Long, wallMs: Long)
+
+/** Superstep-boundary snapshots: state parquet + a JSON manifest carrying
+  * iteration number, per-partition file lineage (name/bytes), row count,
+  * convergence value, and wall-clock — the north rule's "resumable from
+  * checkpoint with per-partition lineage + metrics".
+  *
+  * Layout: `<dir>/iter_NNNNNN/{state.parquet, manifest.json}`.
+  * (Iceberg-shaped: the reference sandbox ships no Iceberg runtime jar, so
+  * the snapshot-per-directory + manifest layout stands in for Iceberg
+  * snapshots behind this one interface — SURVEY.md §7.1.)
+  */
+final class CheckpointManager(dir: String) {
+
+  private def snapDir(iter: Int): String = f"$dir/iter_$iter%06d"
+
+  def save(state: DataFrame, iter: Int, m: IterMetrics, history: Seq[IterMetrics]): Unit = {
+    val d = snapDir(iter)
+    state.write.mode("overwrite").parquet(s"$d/state.parquet")
+    val parts = {
+      val p = new java.io.File(s"$d/state.parquet")
+      Option(p.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-"))
+        .sortBy(_.getName)
+        .map(f => s"""{"file":"${f.getName}","bytes":${f.length()}}""")
+        .mkString("[", ",", "]")
+    }
+    val hist = history
+      .map(h => s"""{"iteration":${h.iteration},"maxDiff":${h.maxDiff},"rows":${h.rows},"wallMs":${h.wallMs}}""")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"iteration":$iter,"rows":${m.rows},"maxDiff":${m.maxDiff},"wallMs":${m.wallMs},
+         |"partitions":$parts,"history":$hist}""".stripMargin.replace("\n", "")
+    Files.createDirectories(Paths.get(d))
+    Files.writeString(Paths.get(s"$d/manifest.json"), json)
+    // commit marker written last: a crash mid-snapshot leaves no _SUCCESS
+    Files.writeString(Paths.get(s"$d/_COMMITTED"), "ok")
+  }
+
+  /** Iterations with a committed snapshot, ascending. */
+  def committed(): Seq[Int] = {
+    val root = new java.io.File(dir)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("iter_") &&
+        new java.io.File(f, "_COMMITTED").exists())
+      .map(_.getName.stripPrefix("iter_").toInt)
+      .sorted.toSeq
+  }
+
+  def load(spark: SparkSession, iter: Int): DataFrame =
+    spark.read.parquet(s"${snapDir(iter)}/state.parquet")
+
+  def latest(spark: SparkSession): Option[(Int, DataFrame)] =
+    committed().lastOption.map(i => (i, load(spark, i)))
+}
+
+/** The one driver loop every iterative operator instantiates (SURVEY.md §7.1):
+  * superstep -> convergence scalar -> lineage cut -> optional checkpoint.
+  *
+  * Loop contract mirrors include/grank.h:86-92: `maxDiff` starts at
+  * `tolerance` so the loop always runs at least once; a NEGATIVE tolerance
+  * means "never converge early" (include/grank.h:56-57) and skips the
+  * norm1 job entirely.
+  */
+object IterativeEngine {
+
+  final case class Result(state: DataFrame, history: Vector[IterMetrics])
+
+  def run(
+      init: DataFrame,
+      superstep: (DataFrame, Int) => DataFrame,
+      maxIterations: Int,
+      tolerance: Double,
+      checkpointEvery: Int = 0,
+      checkpoint: Option[CheckpointManager] = None,
+      resume: Boolean = false): Result = {
+    val spark = init.sparkSession
+    var startIter = 0
+    var state = init
+    if (resume) {
+      checkpoint.flatMap(_.latest(spark)).foreach { case (i, df) =>
+        startIter = i; state = df
+      }
+    }
+    // materialize + truncate lineage (iterative-DataFrame failure mode #1:
+    // per-iteration plan nesting makes analysis cost quadratic)
+    state = state.localCheckpoint(true)
+    var history = Vector.empty[IterMetrics]
+    var i = startIter
+    var maxDiff = tolerance
+    while (i < maxIterations && (tolerance < 0 || maxDiff >= tolerance)) {
+      val t0 = System.nanoTime()
+      val next = superstep(state, i).localCheckpoint(true)
+      maxDiff = if (tolerance < 0) Double.NaN else Metrics.maxNorm1(state, next)
+      val rows = next.count()
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      state = next
+      i += 1
+      val m = IterMetrics(i, maxDiff, rows, wallMs)
+      history :+= m
+      if (checkpointEvery > 0 && checkpoint.isDefined && i % checkpointEvery == 0)
+        checkpoint.get.save(state, i, m, history)
+    }
+    Result(state, history)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Global PageRank (north-rule extra; the reference computes only the
+  * personalized variant — this is the classic teleport-to-all limit).
+  *
+  * Semantics: probability-normalized PageRank with uniform teleport and
+  * dangling mass redistributed uniformly, so scores always sum to 1:
+  *
+  *   pr'(v) = (1-d)/N + d * ( sum_{u->v} pr(u)/outdeg(u) + leak/N )
+  *   leak   = sum over outdeg-0 nodes of pr(u)
+  *
+  * (Dangling redistribution is standard for GLOBAL PageRank; the
+  * personalized operators deliberately keep the reference's mass leak —
+  * see ExactPpr. The two definitions are documented side by side.)
+  *
+  * Convergence: L1(old, new) < tolerance, same driver loop as PPR.
+  */
+object PageRank {
+
+  def run(edges: DataFrame, vertices: DataFrame,
+      iterations: Int = 100, damping: Double = 0.85,
+      tolerance: Double = 1e-6): DataFrame = {
+    val spark = edges.sparkSession
+    val n = vertices.count()
+    if (n == 0) return vertices.select(col("id").as("node"), lit(0.0).as("score"))
+
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val adj = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), (lit(damping) / col("outdeg")).as("factor"))
+      .persist()
+    val withDeg = vertices.join(outdeg, vertices("id") === outdeg("src"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")).persist()
+
+    val init = vertices.select(lit(0L).as("seed"), col("id").as("node"),
+      lit(1.0 / n).as("score"))
+
+    def superstep(state: DataFrame, i: Int): DataFrame = {
+      val leak = state.join(withDeg, state("node") === withDeg("id"))
+        .where(col("outdeg") === 0)
+        .agg(coalesce(sum(col("score")), lit(0.0))).head().getDouble(0)
+      val base = (1.0 - damping) / n + damping * leak / n
+      val contribs = state.join(adj, state("node") === adj("src"))
+        .select(col("dst").as("node"), (col("score") * col("factor")).as("score"))
+      vertices.select(col("id").as("node"), lit(base).as("score"))
+        .union(contribs)
+        .groupBy(col("node"))
+        .agg(sum(col("score")).as("score"))
+        .select(lit(0L).as("seed"), col("node"), col("score"))
+    }
+
+    val res = IterativeEngine.run(init, superstep, iterations, tolerance)
+    adj.unpersist(); withDeg.unpersist()
+    res.state.select(col("node"), col("score"))
+  }
+}

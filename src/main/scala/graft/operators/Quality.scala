@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.kernels.Metrics
+import graft.sources.EdgeSource
+
+/** benchmarkAlgorithm — quality evaluation of an approximated PPR result
+  * against the exact oracle (include/benchmarkAlgorithm.h:52-153).
+  *
+  * Steps (B1-B7, SURVEY.md §2.6):
+  *  - every approx seed must exist in the graph (:65-69)
+  *  - sample `testNodes` seeds from the approx result; `strict` skips
+  *    outdegree-0 nodes (:71-77); sampling is seeded here (the reference
+  *    shuffles with std::random_device, :60-61,79 — deterministic seeding is
+  *    the documented deviation)
+  *  - exact oracle per sampled seed: pprSingleSource(100, 0.85, 1e-4) (:91)
+  *  - oracle truncated to the approx basket's size per seed (:93-95), the
+  *    untruncated copy kept for Kendall score lookup (:93, :123 — missing
+  *    oracle score = 0.0)
+  *  - Jaccard over the two top sets (:99-110), Kendall tau-b over paired
+  *    scores of the approx top keys (:112-128)
+  *  - aggregate: jaccard/kendall average + min, average approx basket size;
+  *    all metrics -1.0 when zero nodes were sampled (:133-151)
+  *
+  * Returns DataFrame(metric STRING, value DOUBLE) with the reference's exact
+  * metric names (benchmarkAlgorithm.h:138-151).
+  */
+object Quality {
+
+  def evaluate(
+      approx: DataFrame, // (seed, node, score)
+      edges: DataFrame,
+      vertices: DataFrame,
+      testNodes: Int,
+      strict: Boolean = true,
+      sampleSeed: Long = 42L): DataFrame = {
+    require(testNodes > 0, "testNodes must be > 0")
+    val spark = approx.sparkSession
+    import spark.implicits._
+
+    val approxSeeds = approx.select(col("seed")).distinct()
+    val missing = approxSeeds.join(vertices, approxSeeds("seed") === vertices("id"), "left_anti").count()
+    require(missing == 0, "all seeds of the approximated result must exist in the graph")
+
+    val outdeg = EdgeSource.outDegrees(edges, vertices)
+    val candidates =
+      if (strict)
+        approxSeeds.join(outdeg.where(col("outdeg") > 0), approxSeeds("seed") === outdeg("id"), "left_semi")
+      else approxSeeds
+    val sampled = candidates
+      .orderBy(xxhash64(col("seed"), lit(sampleSeed)), col("seed"))
+      .limit(testNodes)
+      .localCheckpoint(true)
+    val nSampled = sampled.count()
+
+    if (nSampled == 0) {
+      return Seq(
+        ("jaccard average", -1.0), ("jaccard min", -1.0),
+        ("kendall average", -1.0), ("kendall min", -1.0),
+        ("average map size", -1.0))
+        .toDF("metric", "value")
+    }
+
+    val approxS = approx.join(sampled, Seq("seed"), "left_semi").localCheckpoint(true)
+    val oracle = ExactPpr.run(edges, sampled.select(col("seed").as("id")),
+      iterations = 100, damping = 0.85, tolerance = 1e-4) // hardcoded, :32,:91
+
+    // per-seed approx basket size, and oracle truncated to that size (:93-95)
+    val sizes = approxS.groupBy("seed").agg(count(lit(1)).as("bsize"))
+    val w = Window.partitionBy("seed").orderBy(col("score").desc, col("node").asc)
+    val oracleTop = oracle.join(sizes, Seq("seed"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("bsize"))
+      .select(col("seed"), col("node"), col("score"))
+
+    val jac = Metrics.jaccardPerSeed(
+      approxS.select("seed", "node"), oracleTop.select("seed", "node"))
+
+    // Kendall over the approx top keys: x = approx score, y = full oracle
+    // score with 0.0 default for keys the oracle never scored (:123)
+    val pairs = approxS.select(col("seed"), col("node"), col("score").as("x"))
+      .join(oracle.select(col("seed"), col("node"), col("score").as("y")),
+        Seq("seed", "node"), "left")
+      .select(col("seed"), col("x"), coalesce(col("y"), lit(0.0)).as("y"))
+    val ken = Metrics.kendallPerSeed(pairs)
+
+    val jk = jac.join(ken, Seq("seed"), "full_outer")
+    val aggRow = jk.agg(
+      avg("jaccard").as("ja"), min("jaccard").as("jm"),
+      avg("kendall").as("ka"), min("kendall").as("km")).head()
+    val avgSize = sizes.agg(avg(col("bsize"))).head().getDouble(0)
+
+    Seq(
+      ("jaccard average", aggRow.getDouble(0)), ("jaccard min", aggRow.getDouble(1)),
+      ("kendall average", aggRow.getDouble(2)), ("kendall min", aggRow.getDouble(3)),
+      ("average map size", avgSize))
+      .toDF("metric", "value")
+  }
+}

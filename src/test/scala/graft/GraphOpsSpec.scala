@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, PageRank, Triangles}
+import graft.sources.EdgeSource
+
+class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
+
+  // ---- global PageRank ----------------------------------------------------
+  test("pagerank: uniform 1/N on a cycle and on a complete graph; sums to 1") {
+    for (es <- Seq(cycle(8), complete(6))) {
+      val vids = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val got = PageRank.run(edgesDf(es), verticesDf(vids), 100, 0.85, 1e-10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val n = vids.size
+      for (v <- vids) assert(math.abs(got(v) - 1.0 / n) < 1e-8)
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("pagerank: dangling mass is redistributed (scores still sum to 1)") {
+    // 0 -> 1, 1 dangling
+    val got = PageRank.run(edgesDf(Seq((0L, 1L))), verticesDf(Seq(0L, 1L)), 100, 0.85, 1e-12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(1L) > got(0L))
+  }
+
+  // ---- connected components ----------------------------------------------
+  test("cc: two components + isolated vertex, exact labels") {
+    val es = Seq((0L, 1L), (1L, 2L), (5L, 6L))
+    val got = Components.connectedComponents(edgesDf(es), verticesDf(Seq(0L, 1L, 2L, 5L, 6L, 9L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
+  test("cc: direction is ignored (undirected closure) and matches brute force on random graph") {
+    val es = randomGraph(30, 25, seed = 13) // sparse -> several components
+    val vids = (0L until 30L)
+    val got = Components.connectedComponents(edgesDf(es), verticesDf(vids))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local union-find oracle
+    val parent = scala.collection.mutable.Map(vids.map(v => v -> v): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    es.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = vids.map(v => v -> find(v)).toMap
+    assert(got == want)
+  }
+
+  // ---- label propagation ---------------------------------------------------
+  test("lp: clique converges to min label; deterministic") {
+    val es = complete(5) ++ Seq.empty
+    val got = Components.labelPropagation(edgesDf(es), verticesDf(0L until 5L), rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every vertex sees all labels once -> tie -> smallest label = 0
+    assert(got.values.toSet == Set(0L))
+    val again = Components.labelPropagation(edgesDf(es), verticesDf(0L until 5L), rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == again)
+  }
+
+  test("lp: two cliques joined by one edge keep their own labels") {
+    val cl1 = complete(4)
+    val cl2 = complete(4).map { case (a, b) => (a + 10L, b + 10L) }
+    val es = cl1 ++ cl2 ++ Seq((0L, 10L))
+    val vids = (0L until 4L) ++ (10L until 14L)
+    val got = Components.labelPropagation(edgesDf(es), verticesDf(vids), rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 4L).map(got).toSet.size == 1)
+    assert((10L until 14L).map(got).toSet.size == 1)
+    assert(got(0L) != got(10L))
+  }
+
+  // ---- 2-coloring (findPartitionsTest.cc) ----------------------------------
+  test("twoColoring: star -> {1, n-1}; complete -> {1, n-1}; paired nodes -> n/n") {
+    val star = Components.twoColoring(edgesDf(starIn(6)), verticesDf(0L to 6L))
+      .collect().map(r => r.getInt(1))
+    assert(star.count(_ == 0) == 1 && star.count(_ == 1) == 6)
+    val comp = Components.twoColoring(edgesDf(complete(5)), verticesDf(0L until 5L))
+      .collect().map(r => r.getInt(1))
+    assert(comp.count(_ == 0) == 1 && comp.count(_ == 1) == 4)
+    val pairs = (0L until 4L).map(i => (i, i + 4L))
+    val bip = Components.twoColoring(edgesDf(pairs), verticesDf(0L until 8L))
+      .collect().map(r => r.getInt(1))
+    assert(bip.count(_ == 0) == 4 && bip.count(_ == 1) == 4)
+  }
+
+  // ---- triangles ------------------------------------------------------------
+  test("triangles: closed forms — triangle, square, complete(5), star") {
+    def cnt(es: Seq[(Long, Long)]): Long =
+      Triangles.countAll(edgesDf(es)).head().getLong(0)
+    assert(cnt(Seq((0L, 1L), (1L, 2L), (2L, 0L))) == 1L)
+    assert(cnt(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))) == 0L)
+    assert(cnt(complete(5)) == 10L) // C(5,3)
+    assert(cnt(starIn(10)) == 0L)
+    // direction / duplicates / self-loops ignored
+    assert(cnt(Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (0L, 0L))) == 1L)
+  }
+
+  test("triangles: both orientations agree with brute force on a random graph") {
+    val es = randomGraph(20, 80, seed = 21)
+    val got = Triangles.countAll(edgesDf(es)).head().getLong(0)
+    val got2 = Triangles.countByDegreeOrder(edgesDf(es)).head().getLong(0)
+    val und = es.filter(e => e._1 != e._2)
+      .flatMap(e => Seq((e._1, e._2), (e._2, e._1))).toSet
+    val vids = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var brute = 0L
+    for (i <- vids; j <- vids if j > i; k <- vids if k > j)
+      if (und((i, j)) && und((j, k)) && und((i, k))) brute += 1
+    assert(got == brute)
+    assert(got2 == brute)
+  }
+
+  test("triangles: per-vertex counts on complete(4) are all C(3,2)=3") {
+    val got = Triangles.perVertex(edgesDf(complete(4)), verticesDf(0L until 4L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(3L))
+  }
+}

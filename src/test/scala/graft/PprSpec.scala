@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.model.PprConfig
+import graft.operators.{ExactPpr, GRank, MonteCarloPpr}
+
+/** Algorithm tests vs closed forms + exact oracle (SURVEY.md §5 tier 2). */
+class PprSpec extends AnyFunSuite with GraphFixtures {
+
+  // ---- exact PPR (the oracle itself, vs an independent local oracle) ----
+  test("exactPpr: isolated node keeps {v: 0.15} — dangling mass leaks") {
+    // pprSingleSourceTest.cc:22-29,44-54
+    val got = baskets(ExactPpr.run(edgesDf(Nil), verticesDf(Seq(7L)), 10, 0.85, 1e-6))
+    assert(got(7L).size == 1)
+    assert(math.abs(got(7L)(7L) - 0.15) < 1e-12)
+  }
+
+  test("exactPpr: source is max on a cycle, strictly decreasing along it") {
+    val got = baskets(ExactPpr.run(edgesDf(cycle(6)),
+      verticesDf(Seq(0L)), 100, 0.85, 1e-9))(0L)
+    val ordered = (0 until 6).map(i => got(i.toLong))
+    assert(ordered == ordered.sorted.reverse) // pprSingleSourceTest.cc:90-110
+    assert(ordered.head == got(0L))
+  }
+
+  test("exactPpr matches independent local power iteration on a random graph") {
+    val es = randomGraph(25, 120, seed = 11)
+    val nodes = (0L until 25L)
+    val sparkRes = baskets(ExactPpr.run(edgesDf(es), verticesDf(Seq(3L, 8L)), 100, 0.85, 1e-9))
+    for (s <- Seq(3L, 8L)) {
+      val local = localExactPpr(es, nodes, s, 100, 0.85, 1e-9)
+      assertAllClose(Map(s -> sparkRes(s)), Map(s -> local), 1e-9)
+    }
+  }
+
+  // ---- GRank closed forms (grankTest.cc) --------------------------------
+  test("grank: edgeless graph -> every basket is {v: 0.15}") {
+    val vs = verticesDf(0L until 5L)
+    val got = baskets(GRank.run(edgesDf(Nil), vs, PprConfig(2, 3, 10)))
+    assert(got.keySet == (0L until 5L).toSet)
+    for (v <- 0L until 5L) {
+      assert(got(v).size == 1 && math.abs(got(v)(v) - 0.15) < 1e-12)
+    }
+  }
+
+  test("grank: single node with self-loop -> {v: 1.0}") {
+    // grankTest.cc:70-84
+    val got = baskets(GRank.run(edgesDf(Seq((0L, 0L))), verticesDf(Seq(0L)),
+      PprConfig(2, 2, 100, tolerance = 1e-9)))
+    assert(got(0L).size == 1 && math.abs(got(0L)(0L) - 1.0) < 1e-6)
+  }
+
+  test("grank: star leaves->center: basket(center)={c:0.15}, basket(leaf)[center]=0.15*0.85") {
+    // grankTest.cc:154-182
+    val vs = verticesDf(0L to 5L)
+    val got = baskets(GRank.run(edgesDf(starIn(5)), vs, PprConfig(6, 6, 100, tolerance = 1e-9)))
+    assert(got(0L).size == 1 && math.abs(got(0L)(0L) - 0.15) < 1e-9)
+    for (leaf <- 1L to 5L) {
+      assert(math.abs(got(leaf)(0L) - 0.15 * 0.85) < 1e-6)
+      assert(math.abs(got(leaf)(leaf) - 0.15) < 1e-6)
+    }
+  }
+
+  // ---- the oracle-equivalence contract, tightened to 1e-6 ----------------
+  // (grankTest.cc:285-379 asserts 1e-4 at K=L=|V|; north rule: 1e-6)
+  test("grank == exact PPR within 1e-6 at K=L=|V| on cycle(6)") {
+    val es = edgesDf(cycle(6)); val vs = verticesDf(0L until 6L)
+    val g = baskets(GRank.run(es, vs, PprConfig(6, 6, 200, tolerance = 1e-9)))
+    val o = baskets(ExactPpr.run(es, vs.select(col("id")), 200, 0.85, 1e-9))
+    assertAllClose(g, o, 1e-6)
+  }
+
+  test("grank == exact PPR within 1e-6 at K=L=|V| on random(20,100)") {
+    val es = randomGraph(20, 100, seed = 5)
+    val vids = (es.flatMap(e => Seq(e._1, e._2)).distinct).sorted
+    val e = edgesDf(es); val vs = verticesDf(vids)
+    val g = baskets(GRank.run(e, vs, PprConfig(vids.size, vids.size, 200, tolerance = 1e-9)))
+    val o = baskets(ExactPpr.run(e, vs, 200, 0.85, 1e-9))
+    assertAllClose(g, o, 1e-6)
+  }
+
+  test("grank: fused and bounded top-L strategies agree exactly; salting is a no-op semantically") {
+    val es = edgesDf(randomGraph(15, 60, seed = 9)); val vs = verticesDf(0L until 15L)
+    val a = baskets(GRank.run(es, vs, PprConfig(4, 8, 12, tolerance = -1, fusedTopL = true)))
+    val b = baskets(GRank.run(es, vs, PprConfig(4, 8, 12, tolerance = -1, fusedTopL = false)))
+    val c = baskets(GRank.run(es, vs, PprConfig(4, 8, 12, tolerance = -1, saltThreshold = 2, saltBuckets = 4)))
+    assertAllClose(a, b, 1e-12)
+    assertAllClose(a, c, 1e-12)
+  }
+
+  test("grank: parameter validation matches the reference contract") {
+    // grankTest.cc:20-29 / include/grank.h:51-57
+    assertThrows[IllegalArgumentException](PprConfig(0, 1, 1))
+    assertThrows[IllegalArgumentException](PprConfig(1, 0, 1))
+    assertThrows[IllegalArgumentException](PprConfig(2, 1, 1))
+    assertThrows[IllegalArgumentException](PprConfig(1, 1, 0))
+    assertThrows[IllegalArgumentException](PprConfig(1, 1, 1, damping = 1.5))
+  }
+
+  // ---- Monte-Carlo scale contracts (mccompletepathv2Test.cc) -------------
+  test("mc: isolated node -> {v: 1.0} (MC scale, not a distribution)") {
+    // mccompletepathv2Test.cc:43-49
+    val got = baskets(MonteCarloPpr.run(edgesDf(Nil), verticesDf(Seq(3L)), PprConfig(2, 2, 100)))
+    assert(got(3L) == Map(3L -> 1.0))
+  }
+
+  test("mc: star center->leaves: basket(center)[leaf] = 0.85/5 exactly (even first hop)") {
+    // mccompletepathv2Test.cc:184-219
+    val vs = verticesDf(0L to 5L)
+    val got = baskets(MonteCarloPpr.run(edgesDf(starOut(5)), vs, PprConfig(6, 6, 1000)))
+    assert(math.abs(got(0L)(0L) - 1.0) < 1e-12)
+    for (leaf <- 1L to 5L)
+      assert(math.abs(got(0L)(leaf) - 0.85 / 5) < 1e-12, s"leaf $leaf: ${got(0L)(leaf)}")
+    // dangling leaves keep {leaf: 1.0}
+    for (leaf <- 1L to 5L) assert(got(leaf) == Map(leaf -> 1.0))
+  }
+
+  test("mc: ranking on a cycle decreases with distance from the seed") {
+    val vs = verticesDf(0L until 5L)
+    val got = baskets(MonteCarloPpr.run(edgesDf(cycle(5)), vs, PprConfig(5, 5, 400)))
+    val b = got(0L)
+    assert(b(0L) >= b(1L) && b(1L) >= b(2L))
+  }
+
+  test("mc: deterministic across runs (seeded)") {
+    val es = edgesDf(randomGraph(12, 40, seed = 3)); val vs = verticesDf(0L until 12L)
+    val a = baskets(MonteCarloPpr.run(es, vs, PprConfig(3, 6, 50)))
+    val b = baskets(MonteCarloPpr.run(es, vs, PprConfig(3, 6, 50)))
+    assertAllClose(a, b, 0.0)
+  }
+}
