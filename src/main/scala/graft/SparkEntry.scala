@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.kernels.{Metrics, TopK}
 import graft.model.PprConfig
 import graft.operators._
 import graft.sources.EdgeSource
+import graft.streaming.EventStream
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB-equivalent `oracleSql` for every
@@ -22,6 +24,13 @@ object SparkEntry {
   private def graph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val edges = EdgeSource.fromLineitem(s, dir)
     (edges, EdgeSource.vertices(edges))
+  }
+
+  /** documents with a planted exact duplicate of every row (id + 1e6) —
+    * the deterministic corpus the near-dup operators are exercised on. */
+  private def dupDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.union(d.select(col("doc_id") + 1000000L, col("text")))
   }
 
   /** Flagship query on sf=0.001: GRank top-K PPR baskets over the
@@ -115,6 +124,58 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(unix_timestamp(col("h")).as("hour_epoch"), col("event_type"), col("n"))),
+    "q_window_agg" -> ((s, dir) =>
+      EventStream.windowedAgg(t(s, dir, "events"))
+        .select(unix_timestamp(col("window_start")).as("window_epoch"),
+          col("event_type"), col("n"))),
+    "q_sessionize" -> ((s, dir) =>
+      EventStream.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("start_epoch"),
+          unix_timestamp(col("session_end")).as("end_epoch"),
+          col("n_events"))),
+    // ---- text analysis -----------------------------------------------------
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))),
+    "q_subword_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))),
+    "q_text_annotate" -> ((s, dir) =>
+      TextAnalysis.annotate(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality"),
+          col("fp.exact_hash").as("exact_hash"), col("fp.min_shingle_hash").as("min_shingle_hash"))),
+    // ---- dedup family (planted-duplicate corpus) ---------------------------
+    "q_ngram_neardup" -> ((s, dir) =>
+      Dedup.ngramJaccard(dupDocs(s, dir), "doc_id", "text", threshold = 1.0)
+        .select(col("id_a"), col("id_b"))),
+    "q_minhash_neardup" -> ((s, dir) =>
+      Dedup.minhashLsh(dupDocs(s, dir), "doc_id", "text", threshold = 0.9)),
+    "q_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(dupDocs(s, dir), "doc_id", "text", maxHamming = 0)),
+    "q_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.union(e.select(col("vec_id") + 1000000L, col("embedding")))
+      Dedup.embeddingNearDup(planted, "vec_id", "embedding", threshold = 0.999999)
+        .select(col("id_a"), col("id_b"))
+    }),
+    // ---- similarity search ---------------------------------------------------
+    "q_ann_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 5)
+        .select(col("seed"), col("node"))
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e.where(col("vec_id") < 50), e, k = 5, planes = 10)
+    }),
+    // ---- multimodal plumbing -------------------------------------------------
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(Multimodal.synthesize(s, 200))),
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.synthesize(s, 200))
+        .select(col("media_id"), round(aggregate(col("features"), lit(0.0), (a, v) => a + v), 6).as("feature_mass"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -163,5 +224,34 @@ object SparkEntry {
     "q_events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_window_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev FROM events),
+        | y AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END ns FROM x),
+        | z AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) sid FROM y)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+        |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch, count(*) AS n_events
+        |FROM z GROUP BY user_id, sid""".stripMargin,
+    "q_token_count" ->
+      "SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens FROM documents",
+    "q_subword_count" ->
+      """SELECT doc_id,
+        | list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+        |   x -> CASE WHEN regexp_matches(x, '^[A-Za-z]+$') THEN CAST(ceil(length(x)/4.0) AS BIGINT) ELSE 1 END))::BIGINT AS n_subwords
+        |FROM documents""".stripMargin,
+    "q_ngram_neardup" ->
+      "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents",
+    "q_embedding_neardup" ->
+      "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
+    "q_ann_brute" ->
+      """WITH scored AS (
+        | SELECT q.vec_id AS seed, c.vec_id AS node,
+        |   list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS score
+        | FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        |SELECT seed, node FROM (
+        | SELECT seed, node, row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) rn
+        | FROM scored) WHERE rn <= 5""".stripMargin,
   )
 }

@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every variant is candidate-generation (a bucket equi-join
+  * that shuffles ONLY on short keys) followed by per-pair verification —
+  * never an all-pairs product. Signatures are computed in one projection
+  * pass (column expressions over shingle arrays; no UDF except the simhash
+  * bit-fold, which runs per-row over an already-bounded token array).
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per identical text. */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+      .select(col("keep_id"), col("copies"))
+
+  /** Word k-shingles (token n-grams) of the text. */
+  def tokenShingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) <= k, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** MinHash signature: `perms` permutations simulated as seeded xxhash64;
+    * one array column, computed in a single pass over the shingle array. */
+  def minhashSignature(shingles: Column, perms: Int = 32): Column =
+    transform(sequence(lit(0), lit(perms - 1)),
+      p => coalesce(array_min(transform(shingles, s => xxhash64(s, p))), lit(Long.MaxValue)))
+
+  /** MinHash + LSH banding: pairs of documents that share at least one
+    * (band, band-hash) bucket, verified by exact shingle-set Jaccard >=
+    * `threshold`. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * bands * rowsPerBand must equal the signature length. The bucket join
+    * shuffles only (band, hash, id); the verify join touches only candidate
+    * pairs. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("sh", tokenShingles(col("t"), shingleK))
+      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+      .persist()
+    val banded = withSig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bhash"))
+    val cand = banded.as("x").join(banded.as("y"),
+      col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val res = verifyJaccard(cand, withSig.select(col("id"), col("sh")), threshold)
+    res
+  }
+
+  /** Exact shingle-set Jaccard verification of candidate pairs. */
+  private def verifyJaccard(cand: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
+    val a = shingled.select(col("id").as("id_a"), array_distinct(col("sh")).as("sha"))
+    val b = shingled.select(col("id").as("id_b"), array_distinct(col("sh")).as("shb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** All-pairs n-gram Jaccard near-dup via an inverted shingle index
+    * (exact, no MinHash approximation): candidate pairs share >= 1 shingle;
+    * hot shingles (df > maxShingleFreq) are dropped from candidate
+    * generation to bound the join (they still count in verification). */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    val shingled = df.select(col(idCol).as("id"),
+      array_distinct(tokenShingles(col(textCol), shingleK)).as("sh")).persist()
+    val inv = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val rare = inv.groupBy("s").agg(count(lit(1)).as("df_s"))
+      .where(col("df_s") <= maxShingleFreq).select("s")
+    val invR = inv.join(rare, "s")
+    val cand = invR.as("x").join(invR.as("y"),
+      col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    verifyJaccard(cand, shingled, threshold)
+  }
+
+  /** 64-bit SimHash over token hashes: per bit, sum +1/-1 across tokens,
+    * sign fold. Single per-row pass (bounded token array). */
+  val simhash64: Column => Column = {
+    val f = udf { (hashes: Seq[Long]) =>
+      val acc = new Array[Int](64)
+      hashes.foreach { h =>
+        var i = 0
+        while (i < 64) { acc(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+    text => f(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
+  }
+
+  /** SimHash near-dup: candidates agree on at least one of four 16-bit
+    * chunks (guarantees recall of all pairs with Hamming distance <= 3),
+    * verified by exact Hamming distance <= maxHamming. Returns
+    * (id_a, id_b, hamming). */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig")).persist()
+    val chunked = sigs.select(col("id"), col("sig"), posexplode(
+      transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("sig"), (c * 16).cast("int"))
+          .bitwiseAND(lit(0xFFFFL)))))
+      .select(col("id"), col("sig"), col("pos").as("chunk"), col("col").as("chash"))
+    val cand = chunked.as("x").join(chunked.as("y"),
+      col("x.chunk") === col("y.chunk") && col("x.chash") === col("y.chash") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+      bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup: LSH-bucketed (random-hyperplane sign bits,
+    * seeded) candidate generation + exact cosine verify >= threshold.
+    * Returns (id_a, id_b, cosine). */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes, seed)
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("sig")).persist()
+    // multi-probe: bucket on the full signature AND each one-bit flip would
+    // explode candidates; two half-signatures give Hamming<=1-per-half recall
+    val half = sigs.select(col("id"), col("v"), posexplode(array(
+      col("sig").bitwiseAND(lit((1L << (planes / 2)) - 1)),
+      shiftright(col("sig"), planes / 2))))
+      .select(col("id"), col("v"), col("pos").as("part"), col("col").as("h"))
+    val cand = half.as("x").join(half.as("y"),
+      col("x.part") === col("y.part") && col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"), Similarity.cosine(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

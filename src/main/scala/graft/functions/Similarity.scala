@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.kernels.TopK
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (Array[Float]): brute-force cosine top-k as the exactness baseline, and
+  * an LSH-bucketed variant as the scale path.
+  *
+  * All vector math is column-level (`zip_with` + `aggregate`) — codegen'd,
+  * no UDF. The top-k reuses the engine's bounded per-seed TopK aggregator.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /** Sign-bit signature of `planes` random hyperplanes packed into a LONG:
+    * bit p = [v . r_p >= 0]. Vectors at angle theta collide on a bit with
+    * probability 1 - theta/pi (classic SRP-LSH). */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Long): Column = {
+    require(planes <= 63, "signature is packed into one LONG")
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v * planeComponentOf(i, p, seed)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)),
+      (b, p) => call_function("shiftleft", b, p.cast("int"))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (dimension i,
+    * plane p): uniform in [-1, 1) from seeded xxhash64. */
+  private def planeComponentOf(i: Column, p: Column, seed: Long): Column =
+    (pmod(xxhash64(i, p, lit(seed)), lit(2000001L)) - 1000000L) / 1000000.0
+
+  /** Exact brute-force cosine top-k: every query row scored against every
+    * corpus row (the correctness baseline; O(|Q|*|C|) — pair it with
+    * [[lshTopK]] at scale). Returns (seed = query id, node = corpus id,
+    * score = cosine), k rows per query. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("seed"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("node"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c)
+      .where(col("seed") =!= col("node"))
+      .select(col("seed"), col("node"), cosine(col("qv"), col("cv")).as("score"))
+    TopK.pruneTopL(scored, k, fused = false)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share at least one of the
+    * two half-signatures (multi-probe lite), exact cosine within candidates,
+    * bounded TopK per query. Recall < 1 by construction; the tradeoff knob
+    * is `planes` (fewer planes = bigger buckets = higher recall & cost). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 12, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def halves(df: DataFrame, side: String) = {
+      val sig = hyperplaneSignature(col(vecCol), planes, seed)
+      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_v"), sig.as("sig"))
+        .select(col(s"${side}_id"), col(s"${side}_v"), posexplode(array(
+          col("sig").bitwiseAND(lit((1L << (planes / 2)) - 1)),
+          shiftright(col("sig"), planes / 2))))
+        .select(col(s"${side}_id"), col(s"${side}_v"), col("pos").as("part"), col("col").as("h"))
+    }
+    val qh = halves(queries, "q")
+    val ch = halves(corpus, "c")
+    val cand = qh.join(ch, Seq("part", "h"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("seed"), col("c_id").as("node"),
+        col("q_v").as("qv"), col("c_v").as("cv"))
+      .dropDuplicates("seed", "node")
+    val scored = cand.select(col("seed"), col("node"), cosine(col("qv"), col("cv")).as("score"))
+    TopK.pruneTopL(scored, k, fused = false)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines (task
+  * brief: language-ID, quality scoring, token counting, fingerprinting).
+  * Everything is column-level (`org.apache.spark.sql.functions`) so it stays
+  * inside whole-stage codegen — no UDFs in the hot path.
+  */
+object TextAnalysis {
+
+  /** Word tokens: maximal runs of word characters, lowercased. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9_]+"), lit(0))
+
+  /** Token count (whitespace/punctuation-delimited word runs). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word runs are split into ceil(len/4) units and
+    * digit/punctuation runs count one unit each — a deterministic proxy for
+    * BPE vocabulary token counts (no vocab file in this sandbox). */
+  def subwordCount(text: Column): Column =
+    coalesce(
+      aggregate(
+        regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)),
+        lit(0L),
+        (acc, t) => acc + when(t.rlike("^[A-Za-z]+$"), ceil(length(t) / 4.0)).otherwise(lit(1L))),
+      lit(0L))
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "his", "her", "this"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "von", "mit", "sich", "auf", "dem", "des"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour", "qui", "sur", "pas", "avec"),
+    "it" -> Seq("il", "la", "che", "di", "non", "una", "per", "con", "sono", "del", "della", "nel", "gli", "questo"),
+    "es" -> Seq("el", "la", "que", "de", "no", "una", "por", "con", "los", "las", "del", "como", "para", "este"))
+
+  /** Stopword hits for one language among the document's tokens. */
+  private def hits(toks: Column, lang: String): Column =
+    size(filter(toks, t => stopwords(lang).map(t === lit(_)).reduce(_ || _)))
+
+  /** Heuristic language ID: argmax of stopword-hit counts across the five
+    * built-in lists; documents with no hits at all get "und" (undetermined).
+    * Deterministic tie-break: language list order en,de,fr,it,es. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = Seq("en", "de", "fr", "it", "es")
+    val scored = array(langs.map(l => struct(hits(toks, l).as("n"), lit(l).as("lang"))): _*)
+    // keep insertion order on ties: array_max compares (n, lang) lexicographically,
+    // so disambiguate by position bonus instead: scale n by 10 and subtract index
+    val scoredPos = array(langs.zipWithIndex.map { case (l, i) =>
+      struct((hits(toks, l) * 10 - i).as("n"), lit(l).as("lang"))
+    }: _*)
+    when(aggregate(scored, lit(0), (a, s) => greatest(a, s.getField("n"))) === 0, lit("und"))
+      .otherwise(array_max(scoredPos).getField("lang"))
+  }
+
+  /** Quality components + composite score in [0,1]: length band, alphabetic
+    * ratio, punctuation ratio, stopword ratio, mean word length band —
+    * the standard cheap web-text quality heuristics. */
+  def qualityComponents(text: Column): Column = {
+    val n = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?\"']", "")).cast("double")
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopHits = hits(toks, "en").cast("double")
+    val meanWordLen = when(nTok > 0, aggregate(toks, lit(0L), (a, t) => a + length(t)) / nTok).otherwise(0.0)
+    struct(
+      n.as("n_chars"), nTok.as("n_tokens"),
+      when(n > 0, alpha / n).otherwise(0.0).as("alpha_ratio"),
+      when(n > 0, punct / n).otherwise(0.0).as("punct_ratio"),
+      when(nTok > 0, stopHits / nTok).otherwise(0.0).as("stopword_ratio"),
+      meanWordLen.as("mean_word_len"))
+  }
+
+  /** Composite quality score in [0,1]. */
+  def qualityScore(text: Column): Column = {
+    val c = qualityComponents(text)
+    val lenBand = when(c.getField("n_chars") >= 200 && c.getField("n_chars") <= 20000, 1.0)
+      .when(c.getField("n_chars") >= 50, 0.5).otherwise(0.0)
+    val wordBand = when(c.getField("mean_word_len") >= 3 && c.getField("mean_word_len") <= 10, 1.0).otherwise(0.3)
+    val alphaTerm = c.getField("alpha_ratio")
+    val punctTerm = lit(1.0) - least(c.getField("punct_ratio") * 5, lit(1.0))
+    val stopTerm = least(c.getField("stopword_ratio") * 4, lit(1.0))
+    (lenBand * 0.25 + wordBand * 0.15 + alphaTerm * 0.25 + punctTerm * 0.15 + stopTerm * 0.2)
+  }
+
+  /** Character k-shingles of the whitespace-normalized text. */
+  def charShingles(text: Column, k: Int = 8): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    when(length(norm) <= k, array(norm)).otherwise(
+      transform(sequence(lit(1), length(norm) - (k - 1)), i => norm.substr(i, lit(k))))
+  }
+
+  /** Rolling-hash document fingerprint: xxhash64 of every char-k-shingle,
+    * keep the minimum (a 1-permutation MinHash — stable under small edits
+    * far from the minimizing window), plus the exact content hash. */
+  def fingerprint(text: Column, k: Int = 8): Column =
+    struct(
+      xxhash64(regexp_replace(lower(text), "\\s+", " ")).as("exact_hash"),
+      array_min(transform(charShingles(text, k), s => xxhash64(s))).as("min_shingle_hash"))
+
+  /** Convenience: annotate a corpus with all text-analysis columns. */
+  def annotate(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("n_subwords", subwordCount(col(textCol)).cast("long"))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("fp", fingerprint(col(textCol)))
+}

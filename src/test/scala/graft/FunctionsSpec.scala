@@ -1,0 +1,202 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class FunctionsSpec extends AnyFunSuite with GraphFixtures {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- text analysis ------------------------------------------------------
+  test("tokenCount / subwordCount") {
+    val d = docs(Seq((1L, "Hello, wonderful world! 42 times."), (2L, ""), (3L, "a b c")))
+    val got = d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.subwordCount(col("text")).as("sw"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got(1L)._1 == 5) // hello wonderful world 42 times
+    assert(got(2L)._1 == 0 && got(2L)._2 == 0)
+    assert(got(3L)._1 == 3 && got(3L)._2 == 3)
+    // subwords: hello(2) wonderful(3) world(2) 42(1) times(2) + , ! . = 13
+    assert(got(1L)._2 == 13)
+  }
+
+  test("langId picks the language whose stopwords dominate; 'und' when none") {
+    val d = docs(Seq(
+      (1L, "the cat and the dog was in the house for the winter and it was warm"),
+      (2L, "der Hund und die Katze sind nicht mit dem Mann auf der Strasse"),
+      (3L, "le chat est dans la maison avec les enfants pour le diner"),
+      (4L, "xyzzy plugh qwerty")))
+    val got = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("qualityScore ranks clean prose above junk") {
+    val clean = "The quick brown fox jumps over the lazy dog and it was a fine day in the park. " * 5
+    val junk = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( )))) ;;;; @@@@ ####"
+    val d = docs(Seq((1L, clean), (2L, junk)))
+    val got = d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L) + 0.3, s"clean=${got(1L)} junk=${got(2L)}")
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("fingerprint: exact hash flags identity; min-shingle hash survives a far-away edit") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 4 + "zzzz unique minimal window"
+    val d = docs(Seq((1L, base), (2L, base), (3L, base.replace("alpha", "ALPHA-EDIT"))))
+    val got = d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp.exact_hash"), col("fp.min_shingle_hash"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L)._1 != got(3L)._1)
+  }
+
+  // ---- dedup family --------------------------------------------------------
+  private val dupCorpus = Seq(
+    (1L, "spark streaming joins aggregate window state checkpoint shuffle partition codegen catalyst tungsten"),
+    (2L, "spark streaming joins aggregate window state checkpoint shuffle partition codegen catalyst tungsten"), // exact dup of 1
+    (3L, "spark streaming joins aggregate window state checkpoint shuffle partition codegen catalyst EDITED"), // near dup of 1
+    (4L, "completely different content about cooking pasta with tomatoes basil garlic olive oil and parmesan cheese"),
+    (5L, "entirely unrelated text on alpine skiing snow conditions avalanche safety and mountain weather forecasts"))
+
+  test("exact dedup keeps min id per identical text") {
+    val got = Dedup.exact(docs(dupCorpus)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 2L) // ids 1,2 collapse onto keep_id 1 with 2 copies
+    assert(got.keySet == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds exact+near dup pairs and nothing across topics") {
+    val got = Dedup.minhashLsh(docs(dupCorpus), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L))
+  }
+
+  test("ngram jaccard (exact inverted index) agrees on the planted pairs") {
+    val got = Dedup.ngramJaccard(docs(dupCorpus), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got.contains((1L, 3L)))
+    assert(!got.keySet.exists(p => p._1 >= 4L))
+  }
+
+  test("simhash near-dup: identical -> hamming 0; near -> small; cross-topic absent") {
+    // simhash needs token mass: short texts flip many bits on one edit, so
+    // the near-dup fixture repeats its body (realistic doc length)
+    // 13 distinct tokens (odd -> per-bit sums never 0) repeated 20x; a
+    // single-occurrence edit then moves each bit sum by <=2 of >=20: no flip
+    val body = dupCorpus(0)._2 + " optimizer "
+    val long1 = (body * 20).trim
+    val simCorpus = Seq(
+      (1L, long1), (2L, long1),
+      (3L, long1.replaceFirst("tungsten", "EDITED")),
+      (4L, (dupCorpus(3)._2 + " ") * 20), (5L, (dupCorpus(4)._2 + " ") * 20))
+    val got = Dedup.simhashNearDup(docs(simCorpus), "doc_id", "text", maxHamming = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got((1L, 2L)) == 0)
+    assert(got.contains((1L, 3L)))
+    assert(!got.keySet.exists(p => p._1 >= 4L))
+  }
+
+  // ---- embeddings ----------------------------------------------------------
+  private def vecs(rows: Seq[(Long, Seq[Float])]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine / dot column math matches local computation") {
+    val d = vecs(Seq((1L, Seq(1f, 0f, 2f)), (2L, Seq(2f, 1f, 0f))))
+    val got = d.as("a").crossJoin(d.as("b"))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    val want = 2.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    assert(got.exists(v => math.abs(v - want) < 1e-7))
+    assert(got.count(v => math.abs(v - 1.0) < 1e-7) == 2) // self-cosine
+  }
+
+  test("brute-force cosine top-k returns the true nearest neighbors") {
+    val base = Seq(1f, 0f, 0f, 0f)
+    val rows = Seq(
+      1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0.9f, 0.1f, 0f, 0f),
+      3L -> Seq(0f, 1f, 0f, 0f), 4L -> Seq(0f, 0f, 1f, 0f),
+      5L -> Seq(0.95f, 0f, 0.05f, 0f))
+    val d = vecs(rows)
+    val got = Similarity.bruteForceTopK(d.where(col("vec_id") === 1), d, k = 2)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == Set(5L, 2L))
+  }
+
+  test("LSH top-k achieves high recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(4)
+    def jitter(base: Array[Float]) = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+    val c1 = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val c2 = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val rows = (0L until 30L).map(i => i -> jitter(if (i % 2 == 0) c1 else c2))
+    val d = vecs(rows).persist()
+    val q = d.where(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(q, d, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, d, 5, planes = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("embedding near-dup finds planted duplicates via LSH buckets") {
+    val rnd = new scala.util.Random(9)
+    val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val rows = Seq(
+      1L -> base.toSeq, 2L -> base.map(_ * 1.001f).toSeq, // near-identical direction
+      3L -> Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq,
+      4L -> Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq)
+    val got = Dedup.embeddingNearDup(vecs(rows), "vec_id", "embedding",
+      threshold = 0.99, planes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(got.size < 4)
+  }
+
+  // ---- multimodal plumbing --------------------------------------------------
+  test("multimodal: synthesize -> decode roundtrip preserves planted dimensions") {
+    val media = Multimodal.synthesize(spark, 50).persist()
+    assert(media.schema.fields.map(_.name).toSeq ==
+      Seq("media_id", "kind", "payload", "meta"))
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val meta = Multimodal.decodeMeta(media)
+    assert(meta.count() == 50)
+    val bad = meta.where(col("width") < 16 || col("width") > 528 ||
+      col("height") < 16 || col("height") > 528 ||
+      col("channels") < 1 || col("channels") > 3 || col("n_bytes") < 37).count()
+    assert(bad == 0)
+    // deterministic across runs
+    val meta2 = Multimodal.decodeMeta(Multimodal.synthesize(spark, 50))
+    assert(meta.exceptAll(meta2).count() == 0)
+  }
+
+  test("multimodal: features are a normalized 16-bin histogram; frames + resize shapes hold") {
+    val media = Multimodal.synthesize(spark, 30).persist()
+    val feats = Multimodal.extractFeatures(media)
+    val sums = feats.select(aggregate(col("features"), lit(0.0), (a, v) => a + v).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-9))
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() > 0)
+    assert(frames.select(size(col("frames"))).collect().forall(_.getInt(0) == 4))
+    val resized = Multimodal.decodeMeta(
+      Multimodal.resize(media, 2).join(media.select("media_id", "kind"), "media_id"))
+    val orig = Multimodal.decodeMeta(media)
+    val j = orig.as("o").join(resized.as("r"), Seq("media_id"))
+      .where(col("r.width") =!= floor(col("o.width") / 2).cast("int") &&
+        col("r.width") =!= lit(1))
+    assert(j.count() == 0)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite with GraphFixtures {
+
+  private lazy val eventsDir: String = {
+    // file streaming source wants a directory; stage the test events there
+    val dir = Files.createTempDirectory("graft-events").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def eventsSchema: StructType =
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+
+  test("windowedAgg: streaming (complete mode over files) equals batch on the same data") {
+    val batch = EventStream.windowedAgg(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val stream = EventStream.windowedAgg(
+      spark.readStream.schema(eventsSchema).parquet(eventsDir))
+    val q = stream.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_agg")
+      assert(got.count() == batch.count())
+      assert(got.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
+  test("dedupStream drops replayed event_ids") {
+    val dir = Files.createTempDirectory("graft-events-dup").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(100)
+    src.union(src).write.mode("overwrite").parquet(dir) // every event twice
+    val stream = EventStream.dedupStream(spark.readStream.schema(eventsSchema).parquet(dir))
+      .groupBy().count()
+    val q = stream.writeStream.format("memory").queryName("dedup_cnt")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_cnt").head().getLong(0) == 100L)
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch: gap splitting is exact on a hand-built trace") {
+    val s = spark
+    import s.implicits._
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      (1L, t(0)), (1L, t(10)), (1L, t(20)), // session 1: 3 events
+      (1L, t(60)), (1L, t(65)),             // session 2: 2 events (gap 40 > 30)
+      (2L, t(5))                            // user 2: 1 session
+    ).toDF("user_id", "ts")
+    val got = EventStream.sessionizeBatch(ev, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+        r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSet
+    assert(got == Set((1L, 0L, 20L, 3L), (1L, 60L, 65L, 2L), (2L, 5L, 5L, 1L)))
+  }
+
+  test("sessionizeStream (flatMapGroupsWithState) emits the same closed sessions as batch") {
+    val s = spark
+    import s.implicits._
+    // offset by a day: stateful ops drop rows at/below the initial watermark (epoch 0)
+    def t(min: Long) = new Timestamp((1440 + min) * 60000L)
+    val rows = Seq(
+      (1L, t(0)), (1L, t(10)), (1L, t(20)),
+      (1L, t(60)), (1L, t(65)),
+      (2L, t(5)), (2L, t(200)), // user 2: two sessions
+      (9L, t(500))              // late sentinel pushes the watermark forward
+    )
+    val dir = Files.createTempDirectory("graft-events-sess").toString
+    rows.toDF("user_id", "ts").coalesce(1).write.mode("overwrite").parquet(dir)
+    val sch = StructType(Seq(StructField("user_id", LongType), StructField("ts", TimestampType)))
+    val stream = EventStream.sessionizeStream(
+      spark.readStream.schema(sch).parquet(dir), gapMinutes = 30, watermark = "0 minutes")
+    val q = stream.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSet
+      // sessions closed by gap-exceeding successors within the batch:
+      assert(got.contains((1L, 1440L, 1460L, 3L)))
+      assert(got.contains((2L, 1445L, 1445L, 1L)))
+    } finally q.stop()
+  }
+}
