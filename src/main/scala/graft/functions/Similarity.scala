@@ -59,7 +59,7 @@ object Similarity {
     val scored = q.crossJoin(c)
       .where(col("seed") =!= col("node"))
       .select(col("seed"), col("node"), cosine(col("qv"), col("cv")).as("score"))
-    TopK.pruneTopL(scored, k, fused = false)
+    TopK.pruneTopL(scored, k, "bounded")
   }
 
   /** LSH-bucketed approximate top-k: candidates share at least one of the
@@ -85,6 +85,6 @@ object Similarity {
         col("q_v").as("qv"), col("c_v").as("cv"))
       .dropDuplicates("seed", "node")
     val scored = cand.select(col("seed"), col("node"), cosine(col("qv"), col("cv")).as("score"))
-    TopK.pruneTopL(scored, k, fused = false)
+    TopK.pruneTopL(scored, k, "bounded")
   }
 }

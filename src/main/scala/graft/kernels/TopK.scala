@@ -97,11 +97,17 @@ object TopK {
 
   /** Prune a state relation (seed, node, score) to the top L rows per seed.
     *
-    * fused = true : one shuffle (SumTopL handles duplicate nodes).
-    * fused = false: exact hash-agg by (seed,node) then BoundedTopL by seed.
+    * "fused"  : one shuffle (SumTopL sums duplicate nodes and cuts in finish).
+    * "bounded": exact hash-agg by (seed,node), then BoundedTopL by seed.
+    * "window" : exact hash-agg by (seed,node), then row_number window —
+    *            pure Tungsten sort, no object-aggregation buffers.
     */
-  def pruneTopL(state: DataFrame, l: Int, fused: Boolean = true): DataFrame = {
+  def pruneTopL(state: DataFrame, l: Int, strategy: String = "fused"): DataFrame = {
     if (l <= 0) return state.limit(0)
+    if (strategy == "window")
+      return topKWindow(
+        state.groupBy(col("seed"), col("node")).agg(sum(col("score")).as("score")), l)
+    val fused = strategy == "fused"
     val agg =
       if (fused) udaf(new SumTopL(l), Encoders.product[NodeScore])
       else udaf(new BoundedTopL(l), Encoders.product[NodeScore])

@@ -35,10 +35,13 @@ final case class PprConfig(
     damping: Double = 0.85,
     tolerance: Double = 1e-4,
     // engine knobs (no reference analog: physical execution)
-    /** true: single-shuffle fused sum+topL aggregation per superstep;
-      * false: hash-agg by (seed,node) then bounded-heap topL by seed
-      * (two shuffles, strictly bounded memory — the 100TB-safe path). */
-    fusedTopL: Boolean = true,
+    /** Per-superstep top-L physical strategy:
+      * "fused"   — single-shuffle sum+topL object aggregation;
+      * "bounded" — hash-agg by (seed,node) then bounded-heap topL by seed
+      *             (two shuffles, strictly bounded memory);
+      * "window"  — hash-agg by (seed,node) then row_number window
+      *             (two shuffles, pure Tungsten sort, no object buffers). */
+    topLStrategy: String = "fused",
     /** in-degree above which gather-join keys are salted (0 = off). */
     saltThreshold: Int = 0,
     /** number of salt buckets for skewed keys. */
@@ -52,4 +55,5 @@ final case class PprConfig(
   require(K <= L, "k can't be greater than l")
   require(iterations > 0, "iterations must be > 0")
   require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
+  require(Set("fused", "bounded", "window")(topLStrategy), s"unknown topLStrategy $topLStrategy")
 }

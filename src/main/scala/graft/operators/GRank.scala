@@ -86,7 +86,7 @@ object GRank {
         edges.join(outdeg, "src")
           .select(col("src").as("seed"), col("dst").as("node"),
             (lit(cfg.damping) / col("outdeg")).as("score"))),
-      cfg.L, cfg.fusedTopL)
+      cfg.L, cfg.topLStrategy)
 
     def gather(state: DataFrame): DataFrame = {
       val st =
@@ -103,7 +103,7 @@ object GRank {
     }
 
     def superstep(state: DataFrame, i: Int): DataFrame =
-      TopK.pruneTopL(gather(state).union(teleport), cfg.L, cfg.fusedTopL)
+      TopK.pruneTopL(gather(state).union(teleport), cfg.L, cfg.topLStrategy)
 
     val checkpoint = cfg.checkpointDir.map(new CheckpointManager(_))
     val res = IterativeEngine.run(init, superstep, cfg.iterations, cfg.tolerance,

@@ -75,6 +75,17 @@ object IterativeEngine {
 
   final case class Result(state: DataFrame, history: Vector[IterMetrics])
 
+  /** Drop the cached blocks behind a localCheckpoint'ed frame (safe only
+    * once nothing will read it again — checkpointed lineage can NOT be
+    * recomputed). */
+  private def freeCheckpointBlocks(df: DataFrame): Unit =
+    try {
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ =>
+      }
+    } catch { case _: Throwable => () }
+
   def run(
       init: DataFrame,
       superstep: (DataFrame, Int) => DataFrame,
@@ -103,6 +114,10 @@ object IterativeEngine {
       maxDiff = if (tolerance < 0) Double.NaN else Metrics.maxNorm1(state, next)
       val rows = next.count()
       val wallMs = (System.nanoTime() - t0) / 1000000
+      // the previous state's checkpoint blocks are unreachable from here on;
+      // free them NOW instead of waiting for the ContextCleaner (otherwise
+      // |V|*L-row block sets pile up per iteration until a GC storm)
+      freeCheckpointBlocks(state)
       state = next
       i += 1
       val m = IterMetrics(i, maxDiff, rows, wallMs)

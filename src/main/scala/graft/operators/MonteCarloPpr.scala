@@ -80,8 +80,9 @@ object MonteCarloPpr {
         .select(col("seed"), col("walkId"),
           element_at(col("dsts"), (pick + 1).cast("int")).as("cur"))
         .localCheckpoint(true)
+      // derived from the already-checkpointed `moved`: no extra materialization
       visitParts ::= moved.groupBy(col("seed"), col("cur").as("node"))
-        .agg(count(lit(1)).as("visits")).localCheckpoint(true)
+        .agg(count(lit(1)).as("visits"))
       walkers = moved
       alive = walkers.count()
       step += 1
@@ -94,7 +95,7 @@ object MonteCarloPpr {
     val walkBaskets = TopK.pruneTopL(
       allVisits.groupBy(col("seed"), col("node"))
         .agg((sum(col("visits")) / lit(r.toDouble)).as("score")),
-      cfg.L, fused = false).localCheckpoint(true)
+      cfg.L, "bounded").localCheckpoint(true)
 
     // ---- phase 2: one gather superstep over walk baskets (:211-250) -----
     val factor = vertices.join(adjList, vertices("id") === adjList("src"), "left")
@@ -105,7 +106,7 @@ object MonteCarloPpr {
       (lit(1.0) / col("factor")).as("score"))
     val succRows = edges.join(walkBaskets, edges("dst") === walkBaskets("seed"))
       .select(edges("src").as("seed"), col("node"), col("score"))
-    val combined = TopK.pruneTopL(selfRows.union(succRows), cfg.L, cfg.fusedTopL)
+    val combined = TopK.pruneTopL(selfRows.union(succRows), cfg.L, cfg.topLStrategy)
       .join(factor.withColumnRenamed("id", "seed"), Seq("seed"))
       .select(col("seed"), col("node"), (col("score") * col("factor")).as("score"))
 

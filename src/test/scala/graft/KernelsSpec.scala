@@ -29,7 +29,7 @@ class KernelsSpec extends AnyFunSuite with GraphFixtures {
 
   test("topL: exact cut with deterministic ties (score desc, node asc)") {
     val rows = Seq((1L, 10L, 3.0), (1L, 11L, 1.0), (1L, 12L, 3.0), (1L, 13L, 2.0))
-    for (fused <- Seq(true, false)) {
+    for (fused <- Seq("fused", "bounded", "window")) {
       val got = baskets(TopK.pruneTopL(stateDf(rows), 2, fused))
       assert(got(1L) == Map(10L -> 3.0, 12L -> 3.0), s"fused=$fused")
       val got3 = baskets(TopK.pruneTopL(stateDf(rows), 3, fused))
@@ -39,14 +39,14 @@ class KernelsSpec extends AnyFunSuite with GraphFixtures {
 
   test("topL: duplicate nodes are summed before the cut (fused mode)") {
     val rows = Seq((1L, 10L, 1.0), (1L, 10L, 1.0), (1L, 11L, 1.5))
-    val got = baskets(TopK.pruneTopL(stateDf(rows), 1, fused = true))
+    val got = baskets(TopK.pruneTopL(stateDf(rows), 1, "fused"))
     assert(got(1L) == Map(10L -> 2.0))
   }
 
   test("topL: randomized cut matches local reference law on 500 keys") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 500).map(i => (1L, i.toLong, rnd.nextInt(100).toDouble))
-    for (fused <- Seq(true, false); l <- Seq(1, 50, 499, 500)) {
+    for (fused <- Seq("fused", "bounded", "window"); l <- Seq(1, 50, 499, 500)) {
       val got = baskets(TopK.pruneTopL(stateDf(rows), l, fused))(1L)
       val want = TopK.cut(rows.map(r => NodeScore(r._2, r._3)), l)
         .map(ns => ns.node -> ns.score).toMap

@@ -83,11 +83,13 @@ class PprSpec extends AnyFunSuite with GraphFixtures {
 
   test("grank: fused and bounded top-L strategies agree exactly; salting is a no-op semantically") {
     val es = edgesDf(randomGraph(15, 60, seed = 9)); val vs = verticesDf(0L until 15L)
-    val a = baskets(GRank.run(es, vs, PprConfig(4, 8, 12, tolerance = -1, fusedTopL = true)))
-    val b = baskets(GRank.run(es, vs, PprConfig(4, 8, 12, tolerance = -1, fusedTopL = false)))
+    val a = baskets(GRank.run(es, vs, PprConfig(4, 8, 12, tolerance = -1, topLStrategy = "fused")))
+    val b = baskets(GRank.run(es, vs, PprConfig(4, 8, 12, tolerance = -1, topLStrategy = "bounded")))
     val c = baskets(GRank.run(es, vs, PprConfig(4, 8, 12, tolerance = -1, saltThreshold = 2, saltBuckets = 4)))
+    val d = baskets(GRank.run(es, vs, PprConfig(4, 8, 12, tolerance = -1, topLStrategy = "window")))
     assertAllClose(a, b, 1e-12)
     assertAllClose(a, c, 1e-12)
+    assertAllClose(a, d, 1e-12)
   }
 
   test("grank: parameter validation matches the reference contract") {
