@@ -128,7 +128,7 @@ object Bench {
         def field(k: String): Double =
           ("\"" + k + "\":([0-9.Ee+-]+)").r.findFirstMatchIn(json).map(_.group(1).toDouble)
             .getOrElse(sys.error(s"missing $k in $json"))
-        Map("total" -> field("total_sec"), "median" -> field("median_superstep_sec"),
+        Map("total" -> field("total_sec"), "median" -> field("min_superstep_sec"),
           "supersteps" -> field("steady_supersteps"))
       }
       sparkA.stop()
@@ -141,7 +141,7 @@ object Bench {
       scalingJson =
         s"""{"edges":$nEdges,
            |"total_sec_8":${r8("total")},"total_sec_32":${r32("total")},
-           |"median_superstep_sec_8":$m8,"median_superstep_sec_32":$m32,
+           |"min_superstep_sec_8":$m8,"min_superstep_sec_32":$m32,
            |"supersteps_per_sec_8":${1.0 / m8},"supersteps_per_sec_32":${1.0 / m32},
            |"edges_per_sec_8":$tp8,"edges_per_sec_32":$tp32,
            |"scaling_efficiency_8_to_32":$eff}""".stripMargin.replace("\n", "")

@@ -241,6 +241,17 @@ object SparkEntry {
         | list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
         |   x -> CASE WHEN regexp_matches(x, '^[A-Za-z]+$') THEN CAST(ceil(length(x)/4.0) AS BIGINT) ELSE 1 END))::BIGINT AS n_subwords
         |FROM documents""".stripMargin,
+    "q_connected_components" ->
+      """WITH RECURSIVE
+        | e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        | u AS (SELECT src, dst FROM e WHERE src <> dst UNION SELECT dst, src FROM e WHERE src <> dst),
+        | v AS (SELECT src AS id FROM u UNION SELECT dst FROM u
+        |       UNION SELECT l_partkey FROM lineitem UNION SELECT l_suppkey FROM lineitem),
+        | r(id, comp) AS (
+        |   SELECT id, id FROM v
+        |   UNION
+        |   SELECT u.dst, r.comp FROM r JOIN u ON r.id = u.src)
+        |SELECT id, min(comp) AS comp FROM r GROUP BY id""".stripMargin,
     "q_ngram_neardup" ->
       "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents",
     "q_embedding_neardup" ->

@@ -122,6 +122,22 @@ object TopK {
       .select(col("seed"), col("e.node").as("node"), col("e.score").as("score"))
   }
 
+  /** Single-exchange top-L: one explicit repartition by seed, then the
+    * (seed,node) sum-aggregation AND the per-seed rank both reuse that
+    * partitioning (hash(seed) satisfies ClusteredDistribution(seed,node)
+    * and the window's ClusteredDistribution(seed)) — Catalyst inserts no
+    * further Exchange, only a partition-local sort. This is the superstep
+    * prune of the iterative engine: its output is again hash(seed)
+    * partitioned, so the NEXT superstep's gather join needs no state-side
+    * shuffle either (as long as lineage is persisted, not checkpointed). */
+  def pruneTopLAligned(state: DataFrame, l: Int, partitions: Int): DataFrame = {
+    if (l <= 0) return state.limit(0)
+    topKWindow(
+      state.repartition(partitions, col("seed"))
+        .groupBy(col("seed"), col("node")).agg(sum(col("score")).as("score")),
+      l)
+  }
+
   /** Window-based per-seed top-K (used for the final K-truncation,
     * include/grank.h:143-147 — sorts only the already-L-bounded baskets). */
   def topKWindow(state: DataFrame, k: Int): DataFrame = {

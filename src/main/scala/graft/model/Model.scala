@@ -46,6 +46,10 @@ final case class PprConfig(
     saltThreshold: Int = 0,
     /** number of salt buckets for skewed keys. */
     saltBuckets: Int = 8,
+    /** cut lineage (localCheckpoint) every N supersteps; between cuts the
+      * state is persist-chained so its hash(seed) partitioning survives and
+      * each superstep runs with a SINGLE exchange (window strategy). */
+    lineageCutEvery: Int = 8,
     /** write a parquet snapshot + manifest every N supersteps (0 = off). */
     checkpointEvery: Int = 0,
     checkpointDir: Option[String] = None) {

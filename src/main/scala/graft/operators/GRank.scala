@@ -102,12 +102,19 @@ object GRank {
           (col("score") * col("factor")).as("score"))
     }
 
-    def superstep(state: DataFrame, i: Int): DataFrame =
-      TopK.pruneTopL(gather(state).union(teleport), cfg.L, cfg.topLStrategy)
+    def superstep(state: DataFrame, i: Int): DataFrame = {
+      val combined = gather(state).union(teleport)
+      if (cfg.topLStrategy == "window")
+        // single-exchange path: repartition(seed) once; agg + rank reuse it
+        TopK.pruneTopLAligned(combined, cfg.L, shufflePartitions)
+      else
+        TopK.pruneTopL(combined, cfg.L, cfg.topLStrategy)
+    }
 
     val checkpoint = cfg.checkpointDir.map(new CheckpointManager(_))
     val res = IterativeEngine.run(init, superstep, cfg.iterations, cfg.tolerance,
-      cfg.checkpointEvery, checkpoint, resume = checkpoint.exists(_.committed().nonEmpty))
+      cfg.checkpointEvery, checkpoint, resume = checkpoint.exists(_.committed().nonEmpty),
+      lineageCutEvery = cfg.lineageCutEvery)
 
     val finalState = TopK.topKWindow(res.state, cfg.K) // G6, grank.h:143-147
     adj.unpersist(); teleport.unpersist()

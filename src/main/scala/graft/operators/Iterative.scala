@@ -93,7 +93,8 @@ object IterativeEngine {
       tolerance: Double,
       checkpointEvery: Int = 0,
       checkpoint: Option[CheckpointManager] = None,
-      resume: Boolean = false): Result = {
+      resume: Boolean = false,
+      lineageCutEvery: Int = 1): Result = {
     val spark = init.sparkSession
     var startIter = 0
     var state = init
@@ -102,22 +103,44 @@ object IterativeEngine {
         startIter = i; state = df
       }
     }
-    // materialize + truncate lineage (iterative-DataFrame failure mode #1:
-    // per-iteration plan nesting makes analysis cost quadratic)
+    // Materialization policy. lineageCutEvery = 1: localCheckpoint every
+    // superstep (bounded plan depth, but the LogicalRDD forgets its output
+    // partitioning, so the next gather join re-shuffles the state).
+    // lineageCutEvery = N > 1: persist-chain — the state keeps its plan and
+    // therefore its hash(seed) output partitioning (the next join inserts
+    // NO state-side Exchange); lineage is only cut (localCheckpoint) every
+    // N supersteps to keep analysis cost bounded.
+    var persisted = List.empty[DataFrame]
+    def materialize(df: DataFrame, iter: Int): DataFrame =
+      if (lineageCutEvery <= 1 || (iter + 1) % lineageCutEvery == 0) {
+        val c = df.localCheckpoint(true)
+        persisted.foreach(_.unpersist(false)); persisted = Nil
+        c
+      } else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // materialize now so wallMs measures this superstep only
+        persisted ::= p
+        p
+      }
+    // init: materialize + truncate lineage (iterative-DataFrame failure
+    // mode #1: per-iteration plan nesting makes analysis cost quadratic)
     state = state.localCheckpoint(true)
     var history = Vector.empty[IterMetrics]
     var i = startIter
     var maxDiff = tolerance
     while (i < maxIterations && (tolerance < 0 || maxDiff >= tolerance)) {
       val t0 = System.nanoTime()
-      val next = superstep(state, i).localCheckpoint(true)
+      val next = materialize(superstep(state, i), i)
       maxDiff = if (tolerance < 0) Double.NaN else Metrics.maxNorm1(state, next)
-      val rows = next.count()
+      val needRows = checkpoint.isDefined || tolerance >= 0
+      val rows = if (needRows) next.count() else -1L
       val wallMs = (System.nanoTime() - t0) / 1000000
       // the previous state's checkpoint blocks are unreachable from here on;
       // free them NOW instead of waiting for the ContextCleaner (otherwise
-      // |V|*L-row block sets pile up per iteration until a GC storm)
-      freeCheckpointBlocks(state)
+      // |V|*L-row block sets pile up per iteration until a GC storm).
+      // (persist-chain states are freed at the next lineage cut instead —
+      // a later block eviction may need to recompute through them.)
+      if (lineageCutEvery <= 1) freeCheckpointBlocks(state)
       state = next
       i += 1
       val m = IterMetrics(i, maxDiff, rows, wallMs)
@@ -125,6 +148,7 @@ object IterativeEngine {
       if (checkpointEvery > 0 && checkpoint.isDefined && i % checkpointEvery == 0)
         checkpoint.get.save(state, i, m, history)
     }
+    persisted.foreach(_.unpersist(false))
     Result(state, history)
   }
 }
