@@ -42,6 +42,14 @@ final case class PprConfig(
       * "window"  — hash-agg by (seed,node) then row_number window
       *             (two shuffles, pure Tungsten sort, no object buffers). */
     topLStrategy: String = "fused",
+    /** Reference's partition-alternating schedule (include/grank.h:85,96,
+      * 129-137): 2-color the undirected closure, recompute only one color
+      * class per iteration, carry the other forward, alternate. ~Halves
+      * per-iteration work at the cost of one-iteration-stale halves; the
+      * converged fixpoint is unchanged (thesis §4.1.1). Convergence uses the
+      * reference's two-slot rule: stop only when BOTH colors' last diffs
+      * are below tolerance (grank.h:86-92). */
+    partitionedSchedule: Boolean = false,
     /** in-degree above which gather-join keys are salted (0 = off). */
     saltThreshold: Int = 0,
     /** number of salt buckets for skewed keys. */

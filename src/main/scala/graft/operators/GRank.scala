@@ -79,6 +79,25 @@ object GRank {
       .select(col("id").as("seed"), col("id").as("node"), lit(1.0 - cfg.damping).as("score"))
       .persist()
 
+    // G5 partitioned schedule: 2-coloring + per-color adjacency/teleport
+    // halves (computed once). adjacency filtered by SOURCE color: only
+    // active-color seeds gather in an active iteration.
+    val colors =
+      if (cfg.partitionedSchedule)
+        Components.twoColoring(edges, vertices).persist()
+      else null
+    def colorHalf(df: DataFrame, keyCol: String, c: Int): DataFrame =
+      df.join(colors.where(col("color") === c).select(col("id").as("__cid")),
+        col(keyCol) === col("__cid"), "left_semi")
+    val adjHalves =
+      if (cfg.partitionedSchedule)
+        Array(colorHalf(adj, "src", 0).persist(), colorHalf(adj, "src", 1).persist())
+      else null
+    val teleportHalves =
+      if (cfg.partitionedSchedule)
+        Array(colorHalf(teleport, "seed", 0).persist(), colorHalf(teleport, "seed", 1).persist())
+      else null
+
     // G2 state init: self teleport + one-hop scatter, pruned to L
     // (include/grank.h:64-83; += on duplicates handles self-loops)
     val init = TopK.pruneTopL(
@@ -88,7 +107,7 @@ object GRank {
             (lit(cfg.damping) / col("outdeg")).as("score"))),
       cfg.L, cfg.topLStrategy)
 
-    def gather(state: DataFrame): DataFrame = {
+    def gather(state: DataFrame, adjacency: DataFrame): DataFrame = {
       val st =
         if (salted)
           state.join(broadcast(hubSeeds), state("seed") === hubSeeds("hub"), "left")
@@ -97,28 +116,60 @@ object GRank {
                 sequence(lit(0), lit(cfg.saltBuckets - 1)))
                 .otherwise(array(lit(0)))).as("salt"))
         else state.withColumn("salt", lit(0))
-      st.join(adj, st("seed") === adj("dst") && st("salt") === adj("salt"))
+      st.join(adjacency, st("seed") === adjacency("dst") && st("salt") === adjacency("salt"))
         .select(col("src").as("seed"), col("node"),
           (col("score") * col("factor")).as("score"))
     }
 
-    def superstep(state: DataFrame, i: Int): DataFrame = {
-      val combined = gather(state).union(teleport)
+    def prune(combined: DataFrame): DataFrame =
       if (cfg.topLStrategy == "window")
         // single-exchange path: repartition(seed) once; agg + rank reuse it
         TopK.pruneTopLAligned(combined, cfg.L, shufflePartitions)
       else
         TopK.pruneTopL(combined, cfg.L, cfg.topLStrategy)
-    }
+
+    def superstep(state: DataFrame, i: Int): DataFrame =
+      if (!cfg.partitionedSchedule)
+        prune(gather(state, adj).union(teleport))
+      else {
+        // recompute only the active color's baskets (gather still reads the
+        // FULL state: passive successors' baskets feed active seeds); carry
+        // the passive half forward unchanged (grank.h:129-137). The seed's
+        // color rides IN the state so carrying is a filter, not a join.
+        val active = i % 2
+        val fresh = prune(
+          gather(state.select(col("seed"), col("node"), col("score")), adjHalves(active))
+            .union(teleportHalves(active)))
+          .withColumn("color", lit(active)) // all fresh seeds are active-colored
+        val carried = state.where(col("color") =!= active)
+        fresh.union(carried)
+      }
+
+    val initWithColor =
+      if (cfg.partitionedSchedule)
+        init.join(colors, init("seed") === colors("id"))
+          .select(col("seed"), col("node"), col("score"), col("color"))
+      else init
 
     val checkpoint = cfg.checkpointDir.map(new CheckpointManager(_))
-    val res = IterativeEngine.run(init, superstep, cfg.iterations, cfg.tolerance,
+    val res = IterativeEngine.run(initWithColor, superstep, cfg.iterations, cfg.tolerance,
       cfg.checkpointEvery, checkpoint, resume = checkpoint.exists(_.committed().nonEmpty),
-      lineageCutEvery = cfg.lineageCutEvery)
+      // partitioned mode references `state` twice per superstep (gather +
+      // carried half): under a persist-chain the logical plan would DOUBLE
+      // per iteration (exponential optimizer cost), so cut lineage every
+      // superstep there
+      lineageCutEvery = if (cfg.partitionedSchedule) 1 else cfg.lineageCutEvery,
+      convergenceWindow = if (cfg.partitionedSchedule) 2 else 1)
 
-    val finalState = TopK.topKWindow(res.state, cfg.K) // G6, grank.h:143-147
+    val finalState = TopK.topKWindow(
+      res.state.select(col("seed"), col("node"), col("score")), cfg.K) // G6, grank.h:143-147
+      .localCheckpoint(true)
     adj.unpersist(); teleport.unpersist()
     if (hubSeeds != null) hubSeeds.unpersist()
+    if (colors != null) {
+      colors.unpersist()
+      adjHalves.foreach(_.unpersist()); teleportHalves.foreach(_.unpersist())
+    }
     IterativeEngine.Result(finalState, res.history)
   }
 }

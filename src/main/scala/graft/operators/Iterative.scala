@@ -94,7 +94,8 @@ object IterativeEngine {
       checkpointEvery: Int = 0,
       checkpoint: Option[CheckpointManager] = None,
       resume: Boolean = false,
-      lineageCutEvery: Int = 1): Result = {
+      lineageCutEvery: Int = 1,
+      convergenceWindow: Int = 1): Result = {
     val spark = init.sparkSession
     var startIter = 0
     var state = init
@@ -127,11 +128,17 @@ object IterativeEngine {
     state = state.localCheckpoint(true)
     var history = Vector.empty[IterMetrics]
     var i = startIter
+    // convergence over a window of W recent diffs, all initialized to
+    // `tolerance` — the reference's two-slot maxDiff for the partitioned
+    // schedule (include/grank.h:86-92): no slot may declare victory before
+    // its partition has run at least once. W = 1 is the synchronous rule.
+    var recent = Vector.fill(math.max(convergenceWindow, 1))(tolerance)
     var maxDiff = tolerance
-    while (i < maxIterations && (tolerance < 0 || maxDiff >= tolerance)) {
+    while (i < maxIterations && (tolerance < 0 || recent.max >= tolerance)) {
       val t0 = System.nanoTime()
       val next = materialize(superstep(state, i), i)
       maxDiff = if (tolerance < 0) Double.NaN else Metrics.maxNorm1(state, next)
+      if (tolerance >= 0) recent = recent.tail :+ maxDiff
       val needRows = checkpoint.isDefined || tolerance >= 0
       val rows = if (needRows) next.count() else -1L
       val wallMs = (System.nanoTime() - t0) / 1000000
@@ -148,7 +155,12 @@ object IterativeEngine {
       if (checkpointEvery > 0 && checkpoint.isDefined && i % checkpointEvery == 0)
         checkpoint.get.save(state, i, m, history)
     }
-    persisted.foreach(_.unpersist(false))
+    // hand back a checkpoint-backed frame: the persist-chain below it is
+    // about to be released
+    if (persisted.nonEmpty) {
+      state = state.localCheckpoint(true)
+      persisted.foreach(_.unpersist(false))
+    }
     Result(state, history)
   }
 }
