@@ -103,7 +103,7 @@ object Bench {
       // 256 partitions: bounds per-task aggregation state so the last
       // (largest) superstep doesn't spill at 32 concurrent tasks
       val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "64").toInt
-      val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "4").toInt
+      val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "8").toInt
 
       // each level in its own CPU-pinned JVM (own GC/IO threads): the
       // closest local analog of running N vs 4N executors
