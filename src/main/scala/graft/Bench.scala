@@ -68,10 +68,16 @@ object Bench {
 
     // ---- phase A: headline queries at the driver's SF dir ----------------
     val sparkA = session(cpus, math.max(cpus, 8))
+    var errors = Map.empty[String, String]
     val results = if (doHeadline) headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
-        try { fn(sparkA, sfDir).count() } catch { case _: Throwable => () }
+        // a failed headline query must be VISIBLE in the JSON (errors map),
+        // never scored as a fast success
+        try { fn(sparkA, sfDir).count() } catch {
+          case e: Throwable =>
+            errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     } else Seq.empty
@@ -128,13 +134,13 @@ object Bench {
         def field(k: String): Double =
           ("\"" + k + "\":([0-9.Ee+-]+)").r.findFirstMatchIn(json).map(_.group(1).toDouble)
             .getOrElse(sys.error(s"missing $k in $json"))
-        Map("total" -> field("total_sec"), "median" -> field("min_superstep_sec"),
+        Map("total" -> field("total_sec"), "min" -> field("min_superstep_sec"),
           "supersteps" -> field("steady_supersteps"))
       }
       sparkA.stop()
       val r8 = spawn(8, "0-7")
       val r32 = spawn(32, "0-31")
-      val (m8, m32) = (r8("median"), r32("median"))
+      val (m8, m32) = (r8("min"), r32("min"))
       val tp8 = nEdges.toDouble / m8
       val tp32 = nEdges.toDouble / m32
       val eff = (tp32 / tp8) / 4.0
@@ -150,7 +156,9 @@ object Bench {
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scalingJson}""")
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","scaling":$scalingJson}""")
   }
 }

@@ -1,0 +1,341 @@
+package graft
+
+/** DuckDB-equivalent SQL for the ITERATIVE operators, generated as unrolled
+  * chained CTEs (one per superstep) over the same lineitem-derived edge
+  * table the Spark queries read.
+  *
+  * Why this can be hash-exact: the corresponding Spark queries run in
+  * fixed-point verification mode (PprConfig.quantize = 1e12) — every
+  * per-superstep aggregation rounds each contribution onto the 1e-12 grid
+  * and sums exact 64-bit integers, so the result is independent of addend
+  * order. Both engines then perform the identical sequence of IEEE-754
+  * products/divisions on identical inputs, making every intermediate state
+  * and the final scores bit-identical — no float tolerance needed in the
+  * driver's value compare.
+  *
+  * DuckDB parity notes (hard-won; see .claude/skills/verify/SKILL.md):
+  *  - bare decimal literals are DECIMAL in DuckDB but DOUBLE in Spark —
+  *    every float literal is emitted as CAST(<shortest-repr> AS DOUBLE),
+  *    and constants derived in Scala (e.g. 1.0 - damping) are computed in
+  *    Scala first so both engines see the exact same double.
+  *  - sum(BIGINT) is HUGEINT in DuckDB — cast back to BIGINT before the
+  *    grid division.
+  *  - round(x::DOUBLE) is half-away-from-zero in both engines.
+  */
+object OracleSql {
+
+  /** Shortest-round-trip double literal, forced to DOUBLE type. */
+  private def dlit(x: Double): String = s"CAST($x AS DOUBLE)"
+
+  /** Order-independent fixed-point sum — mirrors TopK.sumScore(1e12). */
+  private def gridSum(expr: String): String =
+    s"CAST(sum(CAST(round(($expr) * 1e12) AS BIGINT)) AS BIGINT) / 1e12"
+
+  /** Shared graph CTEs: deduped edge list, vertex closure, out-degrees,
+    * adjacency with the push factor d/outdeg (EdgeSource.fromLineitem +
+    * the operators' adj projection). */
+  private def graphCtes(damping: Double): String =
+    s"""e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       | od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       | adj AS MATERIALIZED (SELECT e.src, e.dst, ${dlit(damping)} / od.outdeg AS factor FROM e JOIN od USING (src))""".stripMargin
+
+  /** Exact PPR power iteration (include/internal/pprSingleSource.h:29-75),
+    * `iterations` unrolled supersteps, never converging early (the Spark
+    * query runs tolerance = -1), dangling mass deliberately leaking. */
+  def exactPpr(iterations: Int, damping: Double, nSeeds: Int): String = {
+    val tele = dlit(1.0 - damping)
+    val steps = (1 to iterations).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT seed, node, ${gridSum("score")} AS score FROM (
+         |   SELECT s.seed AS seed, a.dst AS node, s.score * a.factor AS score
+         |   FROM s${i - 1} s JOIN adj a ON s.node = a.src
+         |   UNION ALL SELECT id AS seed, id AS node, $tele AS score FROM seeds)
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graphCtes(damping)},
+       | seeds AS MATERIALIZED (SELECT id FROM v ORDER BY id LIMIT $nSeeds),
+       | s0 AS MATERIALIZED (SELECT id AS seed, id AS node, ${dlit(1.0)} AS score FROM seeds),
+       |$steps
+       |SELECT seed, node, score FROM s$iterations""".stripMargin
+  }
+
+  /** GRank (include/grank.h:43-149): state init = self-teleport + one-hop
+    * scatter pruned to L; each superstep = gather-from-successors + teleport,
+    * grid-sum, top-L prune (ties score DESC, node ASC); final top-K. */
+  def grank(k: Int, l: Int, iterations: Int, damping: Double): String = {
+    val tele = dlit(1.0 - damping)
+    def prune(from: String, out: String, bound: Int): String =
+      s"""$out AS MATERIALIZED (SELECT seed, node, score FROM $from
+         | QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $bound)""".stripMargin
+    val init =
+      s"""i0 AS MATERIALIZED (SELECT seed, node, ${gridSum("score")} AS score FROM (
+         |   SELECT id AS seed, id AS node, $tele AS score FROM v
+         |   UNION ALL SELECT src AS seed, dst AS node, factor AS score FROM adj)
+         | GROUP BY 1, 2),
+         |${prune("i0", "s0", l)}""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s"""g$i AS MATERIALIZED (SELECT seed, node, ${gridSum("score")} AS score FROM (
+         |   SELECT a.src AS seed, s.node AS node, s.score * a.factor AS score
+         |   FROM s${i - 1} s JOIN adj a ON s.seed = a.dst
+         |   UNION ALL SELECT id AS seed, id AS node, $tele AS score FROM v)
+         | GROUP BY 1, 2),
+         |${prune(s"g$i", s"s$i", l)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graphCtes(damping)},
+       |$init,
+       |$steps
+       |SELECT seed, node, score FROM s$iterations
+       |QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $k""".stripMargin
+  }
+
+  /** Global PageRank with uniform teleport and uniform dangling-mass
+    * redistribution (operators/PageRank.scala), `iterations` unrolled steps.
+    * The per-iteration leak is an exact grid sum over outdeg-0 nodes. */
+  def pageRank(iterations: Int, damping: Double): String = {
+    val leakSum = gridSum("score")
+    val steps = (1 to iterations).map { i =>
+      s"""lk$i AS MATERIALIZED (SELECT coalesce($leakSum, ${dlit(0.0)}) AS leak
+         |   FROM p${i - 1} s LEFT JOIN od ON s.node = od.src WHERE od.src IS NULL),
+         |p$i AS MATERIALIZED (SELECT node, ${gridSum("score")} AS score FROM (
+         |   SELECT v.id AS node, base1 + base2 * lk.leak AS score FROM v CROSS JOIN lk$i lk CROSS JOIN consts
+         |   UNION ALL
+         |   SELECT a.dst AS node, s.score * a.factor AS score
+         |   FROM p${i - 1} s JOIN adj a ON s.node = a.src)
+         | GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    // (1-d)/n and d/n are computed by Spark in SCALA doubles; mirror that:
+    // n is data-dependent, so divide the Scala-exact numerators by the
+    // counted n in DOUBLE (same operation Spark's lit((1.0-d)/n) performs,
+    // since x/n in scala == CAST(x AS DOUBLE)/n in SQL for the same doubles)
+    s"""WITH ${graphCtes(damping)},
+       | n1 AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       | consts AS MATERIALIZED (SELECT ${dlit(1.0 - damping)} / n AS base1, ${dlit(damping)} / n AS base2, n FROM n1),
+       | p0 AS MATERIALIZED (SELECT id AS node, ${dlit(1.0)} / n AS score FROM v CROSS JOIN consts),
+       |$steps
+       |SELECT node, score FROM p$iterations""".stripMargin
+  }
+
+  /** Synchronous label propagation, fixed rounds, undirected closure
+    * (operators/Components.labelPropagation): most frequent neighbor label,
+    * ties -> smallest label, isolated vertices keep their label. */
+  def labelPropagation(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT dst AS wid, label AS new_label FROM (
+         |   SELECT u.dst, s.label, count(*) AS cnt
+         |   FROM l${i - 1} s JOIN und u ON s.id = u.src GROUP BY 1, 2)
+         | QUALIFY row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label ASC) = 1),
+         |l$i AS MATERIALIZED (SELECT s.id, coalesce(w.new_label, s.label) AS label
+         | FROM l${i - 1} s LEFT JOIN w$i w ON s.id = w.wid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       | und AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst
+       |         UNION SELECT dst, src FROM e WHERE src <> dst),
+       | l0 AS MATERIALIZED (SELECT id, id AS label FROM v),
+       |$steps
+       |SELECT id, label FROM l$rounds""".stripMargin
+  }
+
+  /** MCCompletePathV2 (operators/MonteCarloPpr): replays the seeded walk
+    * simulation step by step — the mix31 quadratic mixer mod 2^31-1 uses
+    * only BIGINT-safe arithmetic, so DuckDB reproduces every survival draw
+    * and successor pick exactly; visit counts are integers and the combine
+    * phase runs grid-summed, so the final scores are bit-identical. */
+  def mcPpr(k: Int, l: Int, r: Int, damping: Double, salt: Long, maxSteps: Int): String = {
+    val p = 2147483647L
+    val sSalt = salt * 7919L + 1234567L // survivalSalt(salt)
+    val pSalt = salt * 7919L + 7654321L         // pickSalt(salt)
+    val effective = math.floor(r * damping).toLong
+    val dl = dlit(damping)
+    def step(s: Int): String =
+      if (s == 1)
+        s"""w1 AS MATERIALIZED (SELECT s.seed, s.walkId, a.dsts[CAST(s.walkId % a.outdeg AS INT) + 1] AS cur
+           | FROM w0 s JOIN adjl a ON s.cur = a.src)""".stripMargin
+      else
+        s"""w$s AS MATERIALIZED (
+           | SELECT seed, walkId,
+           |        dsts[CAST((walkId + (ph2*ph2 + ph2 + 67890) % $p) % outdeg AS INT) + 1] AS cur
+           | FROM (
+           |  SELECT seed, walkId, dsts, outdeg, (ph*ph + ph + 12345) % $p AS ph2
+           |  FROM (
+           |   SELECT sv.seed, sv.walkId, a.dsts, a.outdeg,
+           |          ((sv.seed % $p)*48271 + (sv.cur % $p)*16807 + ($s % $p)*69621 + $pSalt) % $p AS ph
+           |   FROM (
+           |    SELECT seed, walkId, cur FROM (
+           |     SELECT seed, walkId, cur, (sh2*sh2 + sh2 + 67890) % $p AS sh3
+           |     FROM (
+           |      SELECT seed, walkId, cur, (sh*sh + sh + 12345) % $p AS sh2
+           |      FROM (
+           |       SELECT seed, walkId, cur,
+           |              ((seed % $p)*48271 + (walkId % $p)*16807 + ($s % $p)*69621 + $sSalt) % $p AS sh
+           |       FROM w${s - 1})))
+           |    WHERE sh3 / CAST($p AS DOUBLE) <= $dl
+           |   ) sv JOIN adjl a ON sv.cur = a.src)))""".stripMargin
+    val steps = (1 to maxSteps).map(step).mkString(",\n")
+    val visitUnion = (1 to maxSteps)
+      .map(s => s"SELECT seed, cur AS node FROM w$s").mkString("\n   UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       | adjl AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS dsts, count(*) AS outdeg FROM e GROUP BY src),
+       | w0 AS MATERIALIZED (SELECT v.id AS seed, v.id AS cur, t.walkId
+       |        FROM v JOIN adjl a ON v.id = a.src
+       |        CROSS JOIN (SELECT unnest(range($effective)) AS walkId) t),
+       |$steps,
+       | visits AS MATERIALIZED (SELECT seed, node, count(*) AS visits FROM (
+       |   $visitUnion) GROUP BY 1, 2),
+       | wb0 AS MATERIALIZED (SELECT seed, node, CAST(sum(visits) AS BIGINT) / CAST($r AS DOUBLE) AS score FROM (
+       |   SELECT id AS seed, id AS node, CAST($r AS BIGINT) AS visits FROM v
+       |   UNION ALL SELECT seed, node, visits FROM visits) GROUP BY 1, 2),
+       | wb AS MATERIALIZED (SELECT seed, node, score FROM wb0
+       |   QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $l),
+       | fac AS MATERIALIZED (SELECT v.id, CASE WHEN a.outdeg IS NULL OR a.outdeg = 0 THEN ${dlit(1.0)}
+       |                           ELSE $dl / a.outdeg END AS factor
+       |         FROM v LEFT JOIN adjl a ON v.id = a.src),
+       | comb0 AS MATERIALIZED (SELECT seed, node, ${gridSum("score")} AS score FROM (
+       |   SELECT f.id AS seed, f.id AS node, ${dlit(1.0)} / f.factor AS score FROM fac f
+       |   UNION ALL
+       |   SELECT e.src AS seed, b.node AS node, b.score AS score FROM e JOIN wb b ON e.dst = b.seed)
+       |  GROUP BY 1, 2),
+       | comb1 AS MATERIALIZED (SELECT seed, node, score FROM comb0
+       |   QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $l),
+       | fin AS MATERIALIZED (SELECT c.seed, c.node, c.score * f.factor AS score
+       |         FROM comb1 c JOIN fac f ON c.seed = f.id)
+       |SELECT seed, node, score FROM fin
+       |QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $k""".stripMargin
+  }
+
+  /** Text annotation (functions/TextAnalysis.langId + qualityScore): pure
+    * per-row column math, mirrored term by term (token regex, stopword-hit
+    * argmax with position bonus, band/ratio quality formula). All divisions
+    * and products run on identical doubles in both engines — bit-exact. */
+  def textAnnotate(): String = {
+    import graft.functions.TextAnalysis.stopwords
+    val langs = Seq("en", "de", "fr", "it", "es")
+    def hit(l: String): String =
+      s"len(list_filter(toks, x -> x IN (${stopwords(l).map(w => s"'$w'").mkString(", ")})))"
+    val hitCols = langs.map(l => s"${hit(l)} AS h_$l").mkString(",\n    ")
+    val rawMax = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val bonus = langs.zipWithIndex.map { case (l, i) => s"h_$l * 10 - $i" }
+    val argmax = langs.zip(bonus).init
+      .map { case (l, b) => s"WHEN $b THEN '$l'" }
+      .mkString(s"CASE greatest(${bonus.mkString(", ")}) ", " ", s" ELSE '${langs.last}' END")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents),
+       | h AS MATERIALIZED (
+       |  SELECT doc_id, text, toks,
+       |    $hitCols
+       |  FROM t),
+       | q AS MATERIALIZED (
+       |  SELECT doc_id, toks, h_en, h_de, h_fr, h_it, h_es,
+       |    CAST(length(text) AS DOUBLE) AS n,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?"'']', '', 'g')) AS DOUBLE) AS punct,
+       |    CAST(len(toks) AS DOUBLE) AS ntok,
+       |    CAST(h_en AS DOUBLE) AS stophits,
+       |    CASE WHEN len(toks) > 0
+       |         THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / CAST(len(toks) AS DOUBLE)
+       |         ELSE ${dlit(0.0)} END AS mwl
+       |  FROM h),
+       | comp AS MATERIALIZED (
+       |  SELECT doc_id, toks, h_en, h_de, h_fr, h_it, h_es,
+       |    CASE WHEN n > 0 THEN alpha / n ELSE ${dlit(0.0)} END AS alpha_ratio,
+       |    CASE WHEN n > 0 THEN punct / n ELSE ${dlit(0.0)} END AS punct_ratio,
+       |    CASE WHEN ntok > 0 THEN stophits / ntok ELSE ${dlit(0.0)} END AS stopword_ratio,
+       |    CASE WHEN n >= 200 AND n <= 20000 THEN ${dlit(1.0)} WHEN n >= 50 THEN ${dlit(0.5)} ELSE ${dlit(0.0)} END AS len_band,
+       |    CASE WHEN mwl >= 3 AND mwl <= 10 THEN ${dlit(1.0)} ELSE ${dlit(0.3)} END AS word_band
+       |  FROM q)
+       |SELECT doc_id,
+       |  CASE WHEN $rawMax = 0 THEN 'und' ELSE $argmax END AS lang_pred,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  len_band * ${dlit(0.25)} + word_band * ${dlit(0.15)} + alpha_ratio * ${dlit(0.25)}
+       |    + (${dlit(1.0)} - least(punct_ratio * 5, ${dlit(1.0)})) * ${dlit(0.15)}
+       |    + least(stopword_ratio * 4, ${dlit(1.0)}) * ${dlit(0.2)} AS quality
+       |FROM comp""".stripMargin
+  }
+
+  /** Multimodal metadata decode (functions/Multimodal.decodeMeta over the
+    * mix31-synthesized corpus): every header field regenerated from
+    * range(n) with the same mixer the synthesizer used. */
+  def multimodalMeta(n: Long, seed: Long): String = {
+    val salt = seed * 7919L + 888887L
+    def m(role: Int, i: String = "0") = s"(${graft.kernels.Mix.sql("id", i, role.toString, salt)})"
+    s"""WITH r AS MATERIALIZED (SELECT unnest(range($n)) AS id)
+       |SELECT id AS media_id,
+       |  CASE ${m(0)} % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  CAST(${m(1)} % 512 + 16 AS INT) AS width,
+       |  CAST(${m(2)} % 512 + 16 AS INT) AS height,
+       |  CAST(${m(3)} % 3 + 1 AS INT) AS channels,
+       |  CAST(${m(4)} % 200 + 32 + 6 AS INT) AS n_bytes
+       |FROM r""".stripMargin
+  }
+
+  /** Multimodal feature extraction (FakeCodec.features byte histogram):
+    * content bytes regenerated from the mixer; bin mass and bin0 mirrored. */
+  def mediaFeatures(n: Long, seed: Long): String = {
+    val salt = seed * 7919L + 888887L
+    def m(role: Int, i: String = "0") = s"(${graft.kernels.Mix.sql("id", i, role.toString, salt)})"
+    s"""WITH r AS MATERIALIZED (SELECT unnest(range($n)) AS id),
+       | c AS MATERIALIZED (SELECT id, ${m(4)} % 200 + 32 AS clen FROM r),
+       | b AS MATERIALIZED (SELECT id, clen,
+       |     list_transform(range(0, clen + 1), j -> ${m(5, "j")} % 256) AS bytes FROM c)
+       |SELECT id AS media_id,
+       |  round(list_reduce(
+       |    list_transform(range(0, 16), k -> CAST(len(list_filter(bytes, x -> x // 16 = k)) AS DOUBLE) / (clen + 1)),
+       |    (a, b) -> a + b), 6) AS feature_mass,
+       |  CAST(len(list_filter(bytes, x -> x // 16 = 0)) AS DOUBLE) / (clen + 1) AS bin0
+       |FROM b""".stripMargin
+  }
+
+  /** LSH-bucketed ANN top-k (functions/Similarity.lshTopK): hyperplane
+    * signatures recomputed from the mixer, half-signature bucket join,
+    * exact cosine within candidates (list_cosine_similarity is bit-equal to
+    * the engine's fold cosine on DOUBLE[] — proven by q_ann_brute). */
+  def annLsh(k: Int, planes: Int, seed: Long, queryBound: Long): String = {
+    val salt = seed * 7919L + 555557L
+    val comp = s"((${graft.kernels.Mix.sql("i", "p", "0", salt)}) % 2000001 - 1000000) / CAST(1000000.0 AS DOUBLE)"
+    val half = (1L << (planes / 2)) - 1
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | sg AS MATERIALIZED (SELECT vec_id, v,
+       |   CAST(list_sum(list_transform(range(0, $planes), p ->
+       |     CASE WHEN list_reduce(
+       |            list_transform(range(0, len(v)), i -> v[i + 1] * ($comp)),
+       |            (a, b) -> a + b) >= 0
+       |          THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+       |   FROM emb),
+       | hv AS MATERIALIZED (
+       |   SELECT vec_id, 0 AS part, sig & $half AS h FROM sg
+       |   UNION ALL SELECT vec_id, 1, sig >> ${planes / 2} FROM sg),
+       | cand AS MATERIALIZED (
+       |   SELECT DISTINCT q.vec_id AS seed, c.vec_id AS node
+       |   FROM hv q JOIN hv c ON q.part = c.part AND q.h = c.h
+       |   WHERE q.vec_id < $queryBound AND q.vec_id <> c.vec_id),
+       | sc AS MATERIALIZED (
+       |   SELECT cand.seed, cand.node, list_cosine_similarity(a.v, b.v) AS score
+       |   FROM cand JOIN emb a ON cand.seed = a.vec_id JOIN emb b ON cand.node = b.vec_id)
+       |SELECT seed, node FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $k""".stripMargin
+  }
+
+  /** findPartitions 2-coloring (operators/Components.twoColoring): color =
+    * parity of the shortest undirected distance from the component's
+    * minimum-id vertex. Components via the recursive min-propagation CTE;
+    * distances via a bounded BFS recursion (dedup on (id, dist) rows). */
+  def twoColoring(maxDist: Int = 64): String =
+    s"""WITH RECURSIVE
+       | e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       | v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       | und AS (SELECT src, dst FROM e WHERE src <> dst
+       |         UNION SELECT dst, src FROM e WHERE src <> dst),
+       | r(id, comp) AS (
+       |   SELECT id, id FROM v
+       |   UNION
+       |   SELECT u.dst, r.comp FROM r JOIN und u ON r.id = u.src),
+       | c AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+       | roots AS (SELECT DISTINCT comp AS id FROM c),
+       | b(id, dist) AS (
+       |   SELECT id, 0 FROM roots
+       |   UNION
+       |   SELECT u.dst, b.dist + 1 FROM b JOIN und u ON b.id = u.src WHERE b.dist < $maxDist),
+       | d AS (SELECT id, min(dist) AS dist FROM b GROUP BY id)
+       |SELECT id, CAST(dist % 2 AS INT) AS color FROM d""".stripMargin
+}

@@ -47,11 +47,10 @@ object ScalingRun {
     // contention only ever ADDS wall time, so the MIN steady superstep is
     // the unbiased capacity estimate (median/mean inherit co-tenant noise).
     val steady = res.history.takeRight(math.max(res.history.size / 2, 1))
-    val sorted = steady.map(_.wallMs).sorted
-    val medianMs = sorted.head.toDouble
+    val minMs = steady.map(_.wallMs).min.toDouble
     val iterJson = res.history.map(h => s"""{"it":${h.iteration},"ms":${h.wallMs},"rows":${h.rows}}""")
       .mkString("[", ",", "]")
-    println(s"""SCALING {"cores":$cores,"total_sec":$total,"min_superstep_sec":${medianMs / 1000.0},""" +
+    println(s"""SCALING {"cores":$cores,"total_sec":$total,"min_superstep_sec":${minMs / 1000.0},""" +
       s""""steady_supersteps":${steady.size},"iters":$iterJson}""")
     spark.stop()
   }

@@ -57,7 +57,12 @@ object Dedup {
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // materialize before releasing the signature cache (result is candidate-
+    // bounded and small; the cache would otherwise pin executor memory for
+    // the session's lifetime)
     val res = verifyJaccard(cand, withSig.select(col("id"), col("sh")), threshold)
+      .localCheckpoint(true)
+    withSig.unpersist()
     res
   }
 
@@ -89,7 +94,9 @@ object Dedup {
     val cand = invR.as("x").join(invR.as("y"),
       col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    verifyJaccard(cand, shingled, threshold)
+    val res = verifyJaccard(cand, shingled, threshold).localCheckpoint(true)
+    shingled.unpersist()
+    res
   }
 
   /** 64-bit SimHash over token hashes: per bit, sum +1/-1 across tokens,
@@ -127,9 +134,12 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.sig").as("sa"), col("y.sig").as("sb"))
       .distinct()
-    cand.select(col("id_a"), col("id_b"),
+    val res = cand.select(col("id_a"), col("id_b"),
       bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    sigs.unpersist()
+    res
   }
 
   /** Embedding cosine near-dup: LSH-bucketed (random-hyperplane sign bits,
@@ -150,7 +160,10 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.v").as("va"), col("y.v").as("vb"))
       .distinct()
-    cand.select(col("id_a"), col("id_b"), Similarity.cosine(col("va"), col("vb")).as("cosine"))
+    val res = cand.select(col("id_a"), col("id_b"), Similarity.cosine(col("va"), col("vb")).as("cosine"))
       .where(col("cosine") >= threshold)
+      .localCheckpoint(true)
+    sigs.unpersist()
+    res
   }
 }

@@ -49,26 +49,33 @@ object Multimodal {
     }
   }
 
-  /** Deterministic synthetic media table (seeded; used by tests/queries). */
+  /** Deterministic synthetic media table (seeded; used by tests/queries).
+    * Built on the SQL-replayable mixer (kernels.Mix) so the DuckDB oracle
+    * can regenerate every header field and content byte from range(n). */
   def synthesize(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     val kinds = array(lit("image"), lit("audio"), lit("video"))
     spark.range(n).select(
       col("id").as("media_id"),
-      element_at(kinds, (pmod(xxhash64(col("id"), lit(seed)), lit(3)) + 1).cast("int")).as("kind"),
+      element_at(kinds, (pmod(mixOf(col("id"), lit(0L), 0, seed), lit(3)) + 1).cast("int")).as("kind"),
       synthesizePayload(col("id"), seed).as("payload"),
       struct(
         concat(lit("https://media.example/"), col("id").cast("string")).as("source_url"),
         lit("fake/v1").as("declared_format")).as("meta"))
   }
 
+  /** mix31 with the per-field role constant (mirrored in OracleSql). */
+  private[graft] def mixOf(id: org.apache.spark.sql.Column,
+      i: org.apache.spark.sql.Column, role: Int, seed: Long) =
+    graft.kernels.Mix.mix31(id, i, lit(role.toLong), seed * 7919L + 888887L)
+
   /** header (w, h, channels) + hash-derived content bytes, all deterministic. */
   private def synthesizePayload(id: org.apache.spark.sql.Column, seed: Long) = {
-    val w = (pmod(xxhash64(id, lit(seed), lit(1)), lit(512)) + 16).cast("int")
-    val h = (pmod(xxhash64(id, lit(seed), lit(2)), lit(512)) + 16).cast("int")
-    val c = (pmod(xxhash64(id, lit(seed), lit(3)), lit(3)) + 1).cast("int")
-    val contentLen = (pmod(xxhash64(id, lit(seed), lit(4)), lit(200)) + 32)
+    val w = (pmod(mixOf(id, lit(0L), 1, seed), lit(512)) + 16).cast("int")
+    val h = (pmod(mixOf(id, lit(0L), 2, seed), lit(512)) + 16).cast("int")
+    val c = (pmod(mixOf(id, lit(0L), 3, seed), lit(3)) + 1).cast("int")
+    val contentLen = (pmod(mixOf(id, lit(0L), 4, seed), lit(200)) + 32)
     val content = transform(sequence(lit(0L), contentLen),
-      i => pmod(xxhash64(id, i, lit(seed), lit(5)), lit(256)).cast("int"))
+      i => pmod(mixOf(id, i, 5, seed), lit(256)).cast("int"))
     val header = array(
       call_function("shiftright", w, lit(8)).bitwiseAND(lit(255)), w.bitwiseAND(lit(255)),
       call_function("shiftright", h, lit(8)).bitwiseAND(lit(255)), h.bitwiseAND(lit(255)),

@@ -44,9 +44,10 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (dimension i,
-    * plane p): uniform in [-1, 1) from seeded xxhash64. */
-  private def planeComponentOf(i: Column, p: Column, seed: Long): Column =
-    (pmod(xxhash64(i, p, lit(seed)), lit(2000001L)) - 1000000L) / 1000000.0
+    * plane p): uniform in [-1, 1) from the seeded SQL-replayable mixer
+    * (kernels.Mix — lets the DuckDB oracle recompute the same planes). */
+  private[graft] def planeComponentOf(i: Column, p: Column, seed: Long): Column =
+    (pmod(graft.kernels.Mix.mix31(i, p, lit(0L), seed * 7919L + 555557L), lit(2000001L)) - 1000000L) / 1000000.0
 
   /** Exact brute-force cosine top-k: every query row scored against every
     * corpus row (the correctness baseline; O(|Q|*|C|) — pair it with

@@ -28,7 +28,8 @@ object TextAnalysis {
         (acc, t) => acc + when(t.rlike("^[A-Za-z]+$"), ceil(length(t) / 4.0)).otherwise(lit(1L))),
       lit(0L))
 
-  private val stopwords = Map(
+  /** Shared with OracleSql.textAnnotate (the DuckDB mirror of langId). */
+  private[graft] val stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "his", "her", "this"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "von", "mit", "sich", "auf", "dem", "des"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour", "qui", "sur", "pas", "avec"),

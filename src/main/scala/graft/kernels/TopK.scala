@@ -102,11 +102,21 @@ object TopK {
     * "window" : exact hash-agg by (seed,node), then row_number window —
     *            pure Tungsten sort, no object-aggregation buffers.
     */
-  def pruneTopL(state: DataFrame, l: Int, strategy: String = "fused"): DataFrame = {
+  /** Per-(seed,node) score sum. quantize > 0 switches to fixed-point
+    * (order-independent, cross-engine bit-exact) summation: each input row
+    * rounds onto the 1/quantize grid, sums as exact LONGs, divides back
+    * once (PprConfig.quantize). */
+  def sumScore(quantize: Double): org.apache.spark.sql.Column =
+    if (quantize > 0)
+      (sum(round(col("score") * quantize).cast("long")) / quantize).as("score")
+    else sum(col("score")).as("score")
+
+  def pruneTopL(state: DataFrame, l: Int, strategy: String = "fused",
+      quantize: Double = 0.0): DataFrame = {
     if (l <= 0) return state.limit(0)
     if (strategy == "window")
       return topKWindow(
-        state.groupBy(col("seed"), col("node")).agg(sum(col("score")).as("score")), l)
+        state.groupBy(col("seed"), col("node")).agg(sumScore(quantize)), l)
     val fused = strategy == "fused"
     val agg =
       if (fused) udaf(new SumTopL(l), Encoders.product[NodeScore])
@@ -130,11 +140,12 @@ object TopK {
     * prune of the iterative engine: its output is again hash(seed)
     * partitioned, so the NEXT superstep's gather join needs no state-side
     * shuffle either (as long as lineage is persisted, not checkpointed). */
-  def pruneTopLAligned(state: DataFrame, l: Int, partitions: Int): DataFrame = {
+  def pruneTopLAligned(state: DataFrame, l: Int, partitions: Int,
+      quantize: Double = 0.0): DataFrame = {
     if (l <= 0) return state.limit(0)
     topKWindow(
       state.repartition(partitions, col("seed"))
-        .groupBy(col("seed"), col("node")).agg(sum(col("score")).as("score")),
+        .groupBy(col("seed"), col("node")).agg(sumScore(quantize)),
       l)
   }
 

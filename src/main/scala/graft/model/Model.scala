@@ -60,7 +60,17 @@ final case class PprConfig(
     lineageCutEvery: Int = 8,
     /** write a parquet snapshot + manifest every N supersteps (0 = off). */
     checkpointEvery: Int = 0,
-    checkpointDir: Option[String] = None) {
+    checkpointDir: Option[String] = None,
+    /** Fixed-point verification mode (0 = off). When > 0 (e.g. 1e12), every
+      * per-superstep aggregation sums `round(score * quantize)` as exact
+      * 64-bit integers and divides back once — the sum becomes independent
+      * of addend order AND bit-identical across any IEEE-754 engine, so an
+      * external oracle (DuckDB) can reproduce the full iterative run
+      * hash-exactly. Quantization error is <= 1/quantize per contribution
+      * per superstep (1e-12 — far below every quality tolerance). Only the
+      * "window" top-L strategy supports it (object-agg buffers sum doubles
+      * in buffer order). */
+    quantize: Double = 0.0) {
 
   require(K > 0, "k must be > 0")
   require(L > 0, "l must be > 0")
@@ -68,4 +78,6 @@ final case class PprConfig(
   require(iterations > 0, "iterations must be > 0")
   require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
   require(Set("fused", "bounded", "window")(topLStrategy), s"unknown topLStrategy $topLStrategy")
+  require(quantize == 0.0 || topLStrategy == "window",
+    "quantize (fixed-point verification mode) requires the window top-L strategy")
 }

@@ -26,7 +26,8 @@ object ExactPpr {
       seeds: DataFrame, // (id LONG)
       iterations: Int = 100,
       damping: Double = 0.85,
-      tolerance: Double = 1e-4): DataFrame = {
+      tolerance: Double = 1e-4,
+      quantize: Double = 0.0): DataFrame = {
     require(iterations > 0, "iterations must be > 0")
     require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
 
@@ -46,7 +47,7 @@ object ExactPpr {
         .select(col("seed"), col("dst").as("node"), (col("score") * col("factor")).as("score"))
         .union(teleport)
         .groupBy(col("seed"), col("node"))
-        .agg(sum(col("score")).as("score"))
+        .agg(graft.kernels.TopK.sumScore(quantize))
 
     val res = IterativeEngine.run(init, superstep, iterations, tolerance)
     adj.unpersist(); // teleport stays referenced by the lazily-evaluated result

@@ -105,7 +105,7 @@ object GRank {
         edges.join(outdeg, "src")
           .select(col("src").as("seed"), col("dst").as("node"),
             (lit(cfg.damping) / col("outdeg")).as("score"))),
-      cfg.L, cfg.topLStrategy)
+      cfg.L, cfg.topLStrategy, cfg.quantize)
 
     def gather(state: DataFrame, adjacency: DataFrame): DataFrame = {
       val st =
@@ -124,7 +124,7 @@ object GRank {
     def prune(combined: DataFrame): DataFrame =
       if (cfg.topLStrategy == "window")
         // single-exchange path: repartition(seed) once; agg + rank reuse it
-        TopK.pruneTopLAligned(combined, cfg.L, shufflePartitions)
+        TopK.pruneTopLAligned(combined, cfg.L, shufflePartitions, cfg.quantize)
       else
         TopK.pruneTopL(combined, cfg.L, cfg.topLStrategy)
 

@@ -34,11 +34,13 @@ final class CheckpointManager(dir: String) {
         .map(f => s"""{"file":"${f.getName}","bytes":${f.length()}}""")
         .mkString("[", ",", "]")
     }
+    // tolerance < 0 runs record maxDiff = NaN, which is not valid JSON
+    def num(d: Double): String = if (d.isNaN || d.isInfinite) "null" else d.toString
     val hist = history
-      .map(h => s"""{"iteration":${h.iteration},"maxDiff":${h.maxDiff},"rows":${h.rows},"wallMs":${h.wallMs}}""")
+      .map(h => s"""{"iteration":${h.iteration},"maxDiff":${num(h.maxDiff)},"rows":${h.rows},"wallMs":${h.wallMs}}""")
       .mkString("[", ",", "]")
     val json =
-      s"""{"iteration":$iter,"rows":${m.rows},"maxDiff":${m.maxDiff},"wallMs":${m.wallMs},
+      s"""{"iteration":$iter,"rows":${m.rows},"maxDiff":${num(m.maxDiff)},"wallMs":${m.wallMs},
          |"partitions":$parts,"history":$hist}""".stripMargin.replace("\n", "")
     Files.createDirectories(Paths.get(d))
     Files.writeString(Paths.get(s"$d/manifest.json"), json)
@@ -95,7 +97,22 @@ object IterativeEngine {
       checkpoint: Option[CheckpointManager] = None,
       resume: Boolean = false,
       lineageCutEvery: Int = 1,
-      convergenceWindow: Int = 1): Result = {
+      convergenceWindow: Int = 1): Result =
+    graft.kernels.IterTuning.withoutRuntimeFilters(init.sparkSession) {
+      runInner(init, superstep, maxIterations, tolerance, checkpointEvery,
+        checkpoint, resume, lineageCutEvery, convergenceWindow)
+    }
+
+  private def runInner(
+      init: DataFrame,
+      superstep: (DataFrame, Int) => DataFrame,
+      maxIterations: Int,
+      tolerance: Double,
+      checkpointEvery: Int,
+      checkpoint: Option[CheckpointManager],
+      resume: Boolean,
+      lineageCutEvery: Int,
+      convergenceWindow: Int): Result = {
     val spark = init.sparkSession
     var startIter = 0
     var state = init

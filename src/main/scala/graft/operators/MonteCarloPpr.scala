@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.kernels.TopK
+import graft.kernels.{IterTuning, TopK}
 import graft.model.PprConfig
 
 /** MCCompletePathV2 — Monte-Carlo complete-path all-sources PPR
@@ -32,19 +32,41 @@ import graft.model.PprConfig
   *  - successor choice: the reference rotates ONE global per-node index
   *    (:149) shared across all walks — order-dependent state that cannot
   *    exist under parallel execution. Here the first hop of walk w from a
-  *    node with outdeg o is `w mod o` (exactly the same even spread
-  *    round-robin produces) and later hops pick by seeded hash — fully
-  *    deterministic and parallelism-invariant.
+  *    node with outdeg o is `w mod o` (exactly the even spread round-robin
+  *    produces) and later hops pick by a seeded deterministic mix — fully
+  *    parallelism-invariant. The mixer ([[mix31]]) is two rounds of
+  *    quadratic mixing mod the Mersenne prime 2^31-1, chosen over xxhash64
+  *    so an external SQL oracle (DuckDB) can replay every walk bit-exactly
+  *    (no 64-bit wrap-around multiply exists there).
   *  - the sequential `executionOrder` reuse chain (:37-113, :230-241) is a
   *    single-machine variance trick; all nodes are walked in parallel and
   *    combined uniformly (same estimator expectation).
   *  - the capped-L basket insert during a walk (:152-153, first-seen
   *    priority) becomes a top-L-by-count truncation at aggregation time.
+  *
+  * Scale design: the walk loop materializes once per `stepBatch` steps, not
+  * per step — each batch chains `stepBatch` join+project steps lazily with a
+  * per-step persist (every step computed exactly once), then runs ONE
+  * action. Driver round-trips are steps/stepBatch, not ~2*steps; visit
+  * counts fold into a single bounded accumulator per batch (constant plan
+  * depth), never an O(steps)-deep union.
   */
 object MonteCarloPpr {
 
+  import graft.kernels.Mix.{mix31, P}
+
+  /** Salt constants shared with the DuckDB oracle (OracleSql.mcPpr). */
+  private[graft] def survivalSalt(salt: Long): Long = salt * 7919L + 1234567L
+  private[graft] def pickSalt(salt: Long): Long = salt * 7919L + 7654321L
+
   def run(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
-      salt: Long = 42L, maxSteps: Int = 200): DataFrame = {
+      salt: Long = 42L, maxSteps: Int = 200, stepBatch: Int = 8): DataFrame =
+    IterTuning.withoutRuntimeFilters(edges.sparkSession) {
+      runInner(edges, vertices, cfg, salt, maxSteps, stepBatch)
+    }
+
+  private def runInner(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
+      salt: Long, maxSteps: Int, stepBatch: Int): DataFrame = {
     val r = cfg.iterations
     val d = cfg.damping
 
@@ -63,35 +85,53 @@ object MonteCarloPpr {
         explode(sequence(lit(0L), lit(math.max(effective - 1, 0L)))).as("walkId"))
       .localCheckpoint(true)
 
-    var visitParts = List.empty[DataFrame]
+    def oneStep(cur: DataFrame, step: Int): DataFrame = {
+      val survivors =
+        if (step == 1) cur // first edge always traversed (:127-132)
+        else cur.where(
+          (mix31(col("seed"), col("walkId"), lit(step), survivalSalt(salt))
+            / lit(P.toDouble)) <= d)
+      val pick =
+        if (step == 1) pmod(col("walkId"), col("outdeg"))
+        else pmod(col("walkId") + mix31(col("seed"), col("cur"), lit(step), pickSalt(salt)),
+          col("outdeg"))
+      survivors.join(adjList, survivors("cur") === adjList("src"))
+        .select(col("seed"), col("walkId"),
+          element_at(col("dsts"), (pick + 1).cast("int")).as("cur"))
+    }
+
+    var visitAgg: DataFrame = null // (seed, node, visits) — bounded accumulator
     var step = 1
     var alive = walkers.count()
     while (alive > 0 && step <= maxSteps) {
-      val survivors =
-        if (step == 1) walkers // first edge always traversed
-        else walkers.where(
-          (pmod(xxhash64(col("seed"), col("walkId"), lit(step), lit(salt)), lit(1000000L))
-            .cast("double") / 1000000.0) <= d)
-      val pick =
-        if (step == 1) pmod(col("walkId"), col("outdeg"))
-        else pmod(col("walkId") + xxhash64(col("seed"), col("cur"), lit(step), lit(salt)),
-          col("outdeg"))
-      val moved = survivors.join(adjList, survivors("cur") === adjList("src"))
-        .select(col("seed"), col("walkId"),
-          element_at(col("dsts"), (pick + 1).cast("int")).as("cur"))
-        .localCheckpoint(true)
-      // derived from the already-checkpointed `moved`: no extra materialization
-      visitParts ::= moved.groupBy(col("seed"), col("cur").as("node"))
-        .agg(count(lit(1)).as("visits"))
-      walkers = moved
-      alive = walkers.count()
-      step += 1
+      val end = math.min(step + stepBatch - 1, maxSteps)
+      // chain the batch lazily; persist each step so the single batch-end
+      // action computes every step exactly once
+      var stepFrames = List.empty[DataFrame]
+      var cur = walkers
+      var s = step
+      while (s <= end) {
+        cur = oneStep(cur, s).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        stepFrames ::= cur
+        s += 1
+      }
+      walkers = cur.localCheckpoint(true) // ONE action materializes the batch
+      alive = walkers.count()             // O(1)ish on the checkpointed blocks
+      val batchVisits = stepFrames
+        .map(_.groupBy(col("seed"), col("cur").as("node")).agg(count(lit(1)).as("visits")))
+        .reduce(_ union _)
+      visitAgg = (if (visitAgg == null) batchVisits else visitAgg.union(batchVisits))
+        .groupBy(col("seed"), col("node")).agg(sum(col("visits")).as("visits"))
+        .localCheckpoint(true) // reads the cached step frames; bounded depth
+      stepFrames.foreach(_.unpersist(false))
+      step = end + 1
     }
 
     val selfVisits = vertices.select(col("id").as("seed"), col("id").as("node"),
       lit(r.toLong).as("visits")) // origin counted R times (:124, :162-163)
-    val allVisits = (selfVisits :: visitParts).reduce(_ union _)
-    // visit frequencies, pruned to L per origin (capped-insert deviation)
+    val allVisits = if (visitAgg == null) selfVisits else selfVisits.union(visitAgg)
+    // visit frequencies, pruned to L per origin (capped-insert deviation);
+    // scores are exact small rationals (LONG sums / R) — cross-engine stable
     val walkBaskets = TopK.pruneTopL(
       allVisits.groupBy(col("seed"), col("node"))
         .agg((sum(col("visits")) / lit(r.toDouble)).as("score")),
@@ -106,7 +146,7 @@ object MonteCarloPpr {
       (lit(1.0) / col("factor")).as("score"))
     val succRows = edges.join(walkBaskets, edges("dst") === walkBaskets("seed"))
       .select(edges("src").as("seed"), col("node"), col("score"))
-    val combined = TopK.pruneTopL(selfRows.union(succRows), cfg.L, cfg.topLStrategy)
+    val combined = TopK.pruneTopL(selfRows.union(succRows), cfg.L, cfg.topLStrategy, cfg.quantize)
       .join(factor.withColumnRenamed("id", "seed"), Seq("seed"))
       .select(col("seed"), col("node"), (col("score") * col("factor")).as("score"))
 

@@ -22,7 +22,7 @@ object PageRank {
 
   def run(edges: DataFrame, vertices: DataFrame,
       iterations: Int = 100, damping: Double = 0.85,
-      tolerance: Double = 1e-6): DataFrame = {
+      tolerance: Double = 1e-6, quantize: Double = 0.0): DataFrame = {
     val spark = edges.sparkSession
     val n = vertices.count()
     if (n == 0) return vertices.select(col("id").as("node"), lit(0.0).as("score"))
@@ -37,17 +37,26 @@ object PageRank {
     val init = vertices.select(lit(0L).as("seed"), col("id").as("node"),
       lit(1.0 / n).as("score"))
 
+    // sum that (when quantize > 0) is addend-order-free and oracle-exact
+    def leakSum = if (quantize > 0)
+      (coalesce(sum(round(col("score") * quantize).cast("long")), lit(0L)) / quantize).as("leak")
+    else coalesce(sum(col("score")), lit(0.0)).as("leak")
+
     def superstep(state: DataFrame, i: Int): DataFrame = {
+      // the dangling-mass scalar is folded INTO the plan as a broadcast
+      // 1-row aggregate (no driver-side action: each superstep is ONE job;
+      // a .head() here would serialize an extra full pass per iteration)
       val leak = state.join(withDeg, state("node") === withDeg("id"))
         .where(col("outdeg") === 0)
-        .agg(coalesce(sum(col("score")), lit(0.0))).head().getDouble(0)
-      val base = (1.0 - damping) / n + damping * leak / n
+        .agg(leakSum)
+      val base = vertices.crossJoin(broadcast(leak))
+        .select(col("id").as("node"),
+          (lit((1.0 - damping) / n) + lit(damping / n) * col("leak")).as("score"))
       val contribs = state.join(adj, state("node") === adj("src"))
         .select(col("dst").as("node"), (col("score") * col("factor")).as("score"))
-      vertices.select(col("id").as("node"), lit(base).as("score"))
-        .union(contribs)
+      base.union(contribs)
         .groupBy(col("node"))
-        .agg(sum(col("score")).as("score"))
+        .agg(graft.kernels.TopK.sumScore(quantize))
         .select(lit(0L).as("seed"), col("node"), col("score"))
     }
 

@@ -30,13 +30,21 @@ import graft.sources.EdgeSource
   */
 object Quality {
 
+  /** @param oracleIterations / oracleTolerance / quantize: the reference
+    *   hardcodes the oracle at (100, 1e-4) (benchmarkAlgorithm.h:32,:91) —
+    *   the defaults. Driver-verification runs pass a fixed iteration count
+    *   (tolerance = -1) and quantize = 1e12 so the DuckDB oracle
+    *   (OracleSql.qualityHarness) can reproduce the run hash-exactly. */
   def evaluate(
       approx: DataFrame, // (seed, node, score)
       edges: DataFrame,
       vertices: DataFrame,
       testNodes: Int,
       strict: Boolean = true,
-      sampleSeed: Long = 42L): DataFrame = {
+      sampleSeed: Long = 42L,
+      oracleIterations: Int = 100,
+      oracleTolerance: Double = 1e-4,
+      quantize: Double = 0.0): DataFrame = {
     require(testNodes > 0, "testNodes must be > 0")
     val spark = approx.sparkSession
     import spark.implicits._
@@ -50,8 +58,11 @@ object Quality {
       if (strict)
         approxSeeds.join(outdeg.where(col("outdeg") > 0), approxSeeds("seed") === outdeg("id"), "left_semi")
       else approxSeeds
+    // seeded shuffle via the SQL-replayable mixer (deviation from the
+    // reference's random_device shuffle — documented, B2)
     val sampled = candidates
-      .orderBy(xxhash64(col("seed"), lit(sampleSeed)), col("seed"))
+      .orderBy(graft.kernels.Mix.mix31(col("seed"), lit(0L), lit(0L),
+        sampleSeed * 7919L + 424243L), col("seed"))
       .limit(testNodes)
       .localCheckpoint(true)
     val nSampled = sampled.count()
@@ -66,7 +77,8 @@ object Quality {
 
     val approxS = approx.join(sampled, Seq("seed"), "left_semi").localCheckpoint(true)
     val oracle = ExactPpr.run(edges, sampled.select(col("seed").as("id")),
-      iterations = 100, damping = 0.85, tolerance = 1e-4) // hardcoded, :32,:91
+      iterations = oracleIterations, damping = 0.85,
+      tolerance = oracleTolerance, quantize = quantize) // reference: 100/0.85/1e-4 (:32,:91)
 
     // per-seed approx basket size, and oracle truncated to that size (:93-95)
     val sizes = approxS.groupBy("seed").agg(count(lit(1)).as("bsize"))

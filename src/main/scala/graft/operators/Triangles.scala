@@ -28,7 +28,8 @@ object Triangles {
     val e2 = e.select(col("src").as("b2"), col("dst").as("c"))
     val wedges = e1.join(e2, col("b") === col("b2")).select(col("a"), col("b"), col("c"))
     val closed = wedges.join(e, wedges("a") === e("src") && wedges("c") === e("dst"), "left_semi")
-    val res = closed.agg(count(lit(1)).as("n_triangles"))
+    val res = closed.agg(count(lit(1)).as("n_triangles")).localCheckpoint(true)
+    e.unpersist()
     res
   }
 
@@ -74,6 +75,8 @@ object Triangles {
       .union(ranked.select(col("v").as("x"), col("u").as("y")))
     val closed = wedges.join(closing,
       wedges("b") === closing("x") && wedges("c") === closing("y"), "left_semi")
-    closed.agg(count(lit(1)).as("n_triangles"))
+    val res = closed.agg(count(lit(1)).as("n_triangles")).localCheckpoint(true)
+    ranked.unpersist()
+    res
   }
 }

@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   *  - [[edges]]: corpus -> (src, dst) LONG edge table. Vertex ids are
   *    xxhash64(url) — the scale-path choice: no global dictionary join or
   *    sort is needed to assign ids, and results join back to urls through
-  *    [[dictionary]]. (A dense-id dictionary would need a global sort or a
-  *    two-pass zipWithIndex over 10^12 urls; 64-bit hashing makes collisions
-  *    the only tradeoff: ~3e-8 expected collisions at 10^12 urls... at
-  *    10^12 the birthday bound is ~2.7e-2 of the keyspace — documented,
-  *    and the dictionary join detects collisions if exactness is required.)
+  *    [[dictionary]]. Collision math (birthday bound n^2/2N, N = 2^64):
+  *    ~3e-8 expected colliding pairs at 10^6 urls (negligible), but ~2.7e4
+  *    expected colliding pairs at 10^12 urls — each silently merging two
+  *    pages into one vertex. So at full web scale the [[dictionary]]-based
+  *    collision check (count urls per id, or move to 128-bit ids) is
+  *    REQUIRED, not optional, whenever exactness matters; hashing alone is
+  *    only exact up to ~10^8 urls (<1 expected collision).
   */
 object WebCorpus {
 
