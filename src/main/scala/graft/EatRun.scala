@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.PprConfig
+import graft.operators.{GRank, MonteCarloPpr, Quality}
+import graft.sources.EdgeSource
+
+/** End-to-end parity run on the reference's own dataset — the exact flow of
+  * the reference driver (src/main.cc:30-76): import the Koblenz "Eat" graph
+  * CSV (example.txt: 23,132 nodes / 312,310 unique edges after dedup), run
+  *   - grank    K=50, L=100, iterations<=30, damping 0.85, tol 1e-4
+  *              (src/main.cc:50)
+  *   - mccompletepathv2  K=50, L=200, R=1000 walks, damping 0.85
+  *              (src/main.cc:64)
+  * and evaluate each with benchmarkAlgorithm(200 sampled nodes, strict)
+  * (src/main.cc:40,54,68; oracle = exact PPR at 100 iter / tol 1e-4).
+  *
+  * Prints per-phase wall-clock and one final `EATRUN {json}` line; the
+  * numbers land in BASELINE.md against the thesis §5.2 quality envelope
+  * (GRank Jaccard 0.90-0.98 vs the exact oracle).
+  */
+object EatRun {
+
+  def main(args: Array[String]): Unit = {
+    val path = if (args.nonEmpty) args(0) else "/root/reference/example.txt"
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-eat")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](name: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"EAT $name wall=$s%.1f s")
+      (r, s)
+    }
+
+    val edges = EdgeSource.readCsv(spark, path).persist()
+    val vertices = EdgeSource.vertices(edges).persist()
+    val (nV, nE) = (vertices.count(), edges.count())
+    println(s"EAT graph nodes=$nV edges=$nE")
+
+    val (grank, tG) = timed("grank(K=50,L=100,iter=30,tol=1e-4)") {
+      val r = GRank.run(edges, vertices,
+        PprConfig(K = 50, L = 100, iterations = 30, tolerance = 1e-4,
+          topLStrategy = "window")).persist()
+      r.count(); r
+    }
+    val (qG, tQG) = timed("quality(grank,200,strict)") {
+      Quality.evaluate(grank, edges, vertices, testNodes = 200, strict = true).collect()
+    }
+    def metric(rows: Array[org.apache.spark.sql.Row], name: String): Double =
+      rows.find(_.getString(0) == name).get.getDouble(1)
+    val gJa = metric(qG, "jaccard average"); val gJm = metric(qG, "jaccard min")
+    val gKa = metric(qG, "kendall average")
+    println(f"EAT grank quality: jaccard avg=$gJa%.4f min=$gJm%.4f kendall avg=$gKa%.4f")
+    grank.unpersist()
+
+    val (mc, tM) = timed("mc(K=50,L=200,R=1000)") {
+      val r = MonteCarloPpr.run(edges, vertices,
+        PprConfig(K = 50, L = 200, iterations = 1000, topLStrategy = "window")).persist()
+      r.count(); r
+    }
+    val (qM, tQM) = timed("quality(mc,200,strict)") {
+      Quality.evaluate(mc, edges, vertices, testNodes = 200, strict = true).collect()
+    }
+    val mJa = metric(qM, "jaccard average"); val mKa = metric(qM, "kendall average")
+    println(f"EAT mc quality: jaccard avg=$mJa%.4f kendall avg=$mKa%.4f")
+    mc.unpersist()
+
+    println(
+      s"""EATRUN {"nodes":$nV,"edges":$nE,"grank_sec":$tG,"grank_jaccard_avg":$gJa,""" +
+      s""""grank_jaccard_min":$gJm,"grank_kendall_avg":$gKa,"quality_grank_sec":$tQG,""" +
+      s""""mc_sec":$tM,"mc_jaccard_avg":$mJa,"mc_kendall_avg":$mKa,"quality_mc_sec":$tQM}""")
+    spark.stop()
+  }
+}

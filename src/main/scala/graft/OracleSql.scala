@@ -43,26 +43,35 @@ object OracleSql {
   /** Exact PPR power iteration (include/internal/pprSingleSource.h:29-75),
     * `iterations` unrolled supersteps, never converging early (the Spark
     * query runs tolerance = -1), dangling mass deliberately leaking. */
-  def exactPpr(iterations: Int, damping: Double, nSeeds: Int): String = {
+  /** Power-iteration CTE chain `{prefix}0 .. {prefix}N` seeded 1.0 from
+    * `seedsCte` (a CTE with an `id` column). Shared by exactPpr and the
+    * quality harness' per-sample oracle. */
+  private def pprChain(iterations: Int, damping: Double, seedsCte: String, prefix: String): String = {
     val tele = dlit(1.0 - damping)
+    val init =
+      s"""${prefix}0 AS MATERIALIZED (SELECT id AS seed, id AS node, ${dlit(1.0)} AS score FROM $seedsCte)"""
     val steps = (1 to iterations).map { i =>
-      s"""s$i AS MATERIALIZED (SELECT seed, node, ${gridSum("score")} AS score FROM (
+      s"""$prefix$i AS MATERIALIZED (SELECT seed, node, ${gridSum("score")} AS score FROM (
          |   SELECT s.seed AS seed, a.dst AS node, s.score * a.factor AS score
-         |   FROM s${i - 1} s JOIN adj a ON s.node = a.src
-         |   UNION ALL SELECT id AS seed, id AS node, $tele AS score FROM seeds)
+         |   FROM $prefix${i - 1} s JOIN adj a ON s.node = a.src
+         |   UNION ALL SELECT id AS seed, id AS node, $tele AS score FROM $seedsCte)
          | GROUP BY 1, 2)""".stripMargin
-    }.mkString(",\n")
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  def exactPpr(iterations: Int, damping: Double, nSeeds: Int): String =
     s"""WITH ${graphCtes(damping)},
        | seeds AS MATERIALIZED (SELECT id FROM v ORDER BY id LIMIT $nSeeds),
-       | s0 AS MATERIALIZED (SELECT id AS seed, id AS node, ${dlit(1.0)} AS score FROM seeds),
-       |$steps
+       |${pprChain(iterations, damping, "seeds", "s")}
        |SELECT seed, node, score FROM s$iterations""".stripMargin
-  }
 
   /** GRank (include/grank.h:43-149): state init = self-teleport + one-hop
     * scatter pruned to L; each superstep = gather-from-successors + teleport,
     * grid-sum, top-L prune (ties score DESC, node ASC); final top-K. */
-  def grank(k: Int, l: Int, iterations: Int, damping: Double): String = {
+  /** GRank CTE chain `i0, s0, g1, s1 .. s{iterations}` (state pruned to L
+    * every superstep). Shared by grank and the quality harness. */
+  private def grankCtes(l: Int, iterations: Int, damping: Double): String = {
     val tele = dlit(1.0 - damping)
     def prune(from: String, out: String, bound: Int): String =
       s"""$out AS MATERIALIZED (SELECT seed, node, score FROM $from
@@ -81,11 +90,72 @@ object OracleSql {
          | GROUP BY 1, 2),
          |${prune(s"g$i", s"s$i", l)}""".stripMargin
     }.mkString(",\n")
+    s"$init,\n$steps"
+  }
+
+  def grank(k: Int, l: Int, iterations: Int, damping: Double): String =
     s"""WITH ${graphCtes(damping)},
-       |$init,
-       |$steps
+       |${grankCtes(l, iterations, damping)}
        |SELECT seed, node, score FROM s$iterations
        |QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $k""".stripMargin
+
+  /** benchmarkAlgorithm quality harness (operators/Quality.evaluate): GRank
+    * approximation vs a fixed-iteration exact-PPR oracle over `testNodes`
+    * mixer-sampled strict (outdeg>0) seeds; per-seed Jaccard of the
+    * size-aligned top sets and Kendall tau-b (pair counting, reference tie
+    * semantics incl. the degenerate 1.0/0.0 rule); avg/min aggregation.
+    * Values rounded to 9 decimals on both sides (avg sums a handful of
+    * doubles in engine-dependent order — everything upstream is exact). */
+  def qualityHarness(k: Int, l: Int, grankIterations: Int, oracleIterations: Int,
+      testNodes: Int, damping: Double, sampleSeed: Long): String = {
+    val salt = sampleSeed * 7919L + 424243L
+    val mixSeed = graft.kernels.Mix.sql("seed", "0", "0", salt)
+    s"""WITH ${graphCtes(damping)},
+       |${grankCtes(l, grankIterations, damping)},
+       | apx AS MATERIALIZED (SELECT seed, node, score FROM s$grankIterations
+       |   QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $k),
+       | cand AS MATERIALIZED (SELECT DISTINCT seed FROM apx JOIN od ON apx.seed = od.src),
+       | smp AS MATERIALIZED (SELECT seed FROM cand ORDER BY $mixSeed, seed LIMIT $testNodes),
+       | oseeds AS MATERIALIZED (SELECT seed AS id FROM smp),
+       |${pprChain(oracleIterations, damping, "oseeds", "o")},
+       | apxs AS MATERIALIZED (SELECT a.* FROM apx a JOIN smp USING (seed)),
+       | sizes AS MATERIALIZED (SELECT seed, count(*) AS bsize FROM apxs GROUP BY 1),
+       | otop AS MATERIALIZED (
+       |   SELECT o.seed, o.node, o.score FROM o$oracleIterations o JOIN sizes z USING (seed)
+       |   QUALIFY row_number() OVER (PARTITION BY o.seed ORDER BY o.score DESC, o.node ASC) <= z.bsize),
+       | ca AS (SELECT seed, count(*) AS na FROM apxs GROUP BY 1),
+       | cb AS (SELECT seed, count(*) AS nb FROM otop GROUP BY 1),
+       | ci AS (SELECT a.seed, count(*) AS ni FROM apxs a JOIN otop b ON a.seed = b.seed AND a.node = b.node GROUP BY 1),
+       | jac AS MATERIALIZED (SELECT s.seed,
+       |   CASE WHEN coalesce(na, 0) + coalesce(nb, 0) = 0 THEN ${dlit(1.0)}
+       |        ELSE CAST(coalesce(ni, 0) AS DOUBLE) /
+       |             CAST(coalesce(na, 0) + coalesce(nb, 0) - coalesce(ni, 0) AS DOUBLE) END AS jaccard
+       |   FROM smp s LEFT JOIN ca USING (seed) LEFT JOIN cb USING (seed) LEFT JOIN ci USING (seed)),
+       | pairs AS MATERIALIZED (
+       |   SELECT a.seed, a.node, a.score AS x, coalesce(o.score, ${dlit(0.0)}) AS y
+       |   FROM apxs a LEFT JOIN o$oracleIterations o ON a.seed = o.seed AND a.node = o.node),
+       | kp AS MATERIALIZED (SELECT p1.seed,
+       |   sum(CASE WHEN p1.x <> p2.x AND p1.y <> p2.y AND ((p1.x < p2.x) = (p1.y < p2.y)) THEN 1 ELSE 0 END) AS c,
+       |   sum(CASE WHEN p1.x <> p2.x AND p1.y <> p2.y AND ((p1.x < p2.x) <> (p1.y < p2.y)) THEN 1 ELSE 0 END) AS d,
+       |   sum(CASE WHEN p1.x = p2.x AND p1.y <> p2.y THEN 1 ELSE 0 END) AS tx,
+       |   sum(CASE WHEN p1.y = p2.y AND p1.x <> p2.x THEN 1 ELSE 0 END) AS ty
+       |   FROM pairs p1 JOIN pairs p2 ON p1.seed = p2.seed AND p1.node < p2.node GROUP BY 1),
+       | ken AS MATERIALIZED (SELECT s.seed,
+       |   CASE WHEN coalesce(c,0) + coalesce(d,0) + coalesce(ty,0) = 0 OR coalesce(c,0) + coalesce(d,0) + coalesce(tx,0) = 0
+       |        THEN CASE WHEN (coalesce(c,0) + coalesce(d,0) + coalesce(ty,0) = 0) = (coalesce(c,0) + coalesce(d,0) + coalesce(tx,0) = 0)
+       |                  THEN ${dlit(1.0)} ELSE ${dlit(0.0)} END
+       |        ELSE CAST(c - d AS DOUBLE) /
+       |             sqrt(CAST(c + d + ty AS DOUBLE) * CAST(c + d + tx AS DOUBLE)) END AS kendall
+       |   FROM smp s LEFT JOIN kp ON s.seed = kp.seed),
+       | ag AS (SELECT avg(j.jaccard) AS ja, min(j.jaccard) AS jm, avg(k.kendall) AS ka, min(k.kendall) AS km
+       |        FROM jac j JOIN ken k USING (seed)),
+       | sz AS (SELECT avg(bsize) AS ms FROM sizes)
+       |SELECT metric, value FROM (
+       |  SELECT 'jaccard average' AS metric, round(ja, 9) AS value FROM ag
+       |  UNION ALL SELECT 'jaccard min', round(jm, 9) FROM ag
+       |  UNION ALL SELECT 'kendall average', round(ka, 9) FROM ag
+       |  UNION ALL SELECT 'kendall min', round(km, 9) FROM ag
+       |  UNION ALL SELECT 'average map size', round(ms, 9) FROM sz)""".stripMargin
   }
 
   /** Global PageRank with uniform teleport and uniform dangling-mass

@@ -114,8 +114,11 @@ object SparkEntry {
     }),
     "q_quality_harness" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
-      val approx = GRank.run(e, v, PprConfig(K = 10, L = 20, iterations = 8, tolerance = 1e-3))
-      Quality.evaluate(approx, e, v, testNodes = 20, strict = true)
+      val approx = GRank.run(e, v, PprConfig(K = 10, L = 20, iterations = 8, tolerance = -1,
+        topLStrategy = "window", quantize = 1e12))
+      Quality.evaluate(approx, e, v, testNodes = 20, strict = true,
+        oracleIterations = 20, oracleTolerance = -1, quantize = 1e12)
+        .select(col("metric"), round(col("value"), 9).as("value"))
     }),
     // ---- text / documents ---------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
@@ -294,6 +297,8 @@ object SparkEntry {
     "q_pagerank" -> OracleSql.pageRank(iterations = 40, damping = 0.85),
     "q_mc_ppr" -> OracleSql.mcPpr(k = 10, l = 20, r = 30, damping = 0.85, salt = 42L, maxSteps = 64),
     "q_label_propagation" -> OracleSql.labelPropagation(rounds = 4),
+    "q_quality_harness" -> OracleSql.qualityHarness(k = 10, l = 20, grankIterations = 8,
+      oracleIterations = 20, testNodes = 20, damping = 0.85, sampleSeed = 42L),
     "q_two_coloring" -> OracleSql.twoColoring(),
     "q_ann_brute" ->
       """WITH scored AS (
