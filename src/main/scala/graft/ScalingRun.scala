@@ -36,8 +36,15 @@ object ScalingRun {
     val edges = spark.read.parquet(s"$graphDir/edges").persist()
     val vertices = spark.read.parquet(s"$graphDir/vertices").persist()
     edges.count(); vertices.count()
+    // reliable checkpointing ON in the measured config (the 100-TB story
+    // must not rest on non-recoverable localCheckpoint): one parquet
+    // snapshot + manifest at iteration `iters`. The dir is wiped first so
+    // a previous run's committed snapshot can't trigger a resume.
+    val ckptDir = s"/tmp/graft-scaling-ckpt-$cores"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
     val cfg = PprConfig(K = 50, L = 100, iterations = iters, tolerance = -1,
-      topLStrategy = strategy, saltThreshold = salt, saltBuckets = 8)
+      topLStrategy = strategy, saltThreshold = salt, saltBuckets = 8,
+      checkpointEvery = iters, checkpointDir = Some(ckptDir))
     val t0 = System.nanoTime()
     val res = GRank.runWithMetrics(edges, vertices, cfg)
     res.state.count()
@@ -50,8 +57,9 @@ object ScalingRun {
     val minMs = steady.map(_.wallMs).min.toDouble
     val iterJson = res.history.map(h => s"""{"it":${h.iteration},"ms":${h.wallMs},"rows":${h.rows}}""")
       .mkString("[", ",", "]")
+    val committed = new graft.operators.CheckpointManager(ckptDir).committed().size
     println(s"""SCALING {"cores":$cores,"total_sec":$total,"min_superstep_sec":${minMs / 1000.0},""" +
-      s""""steady_supersteps":${steady.size},"iters":$iterJson}""")
+      s""""steady_supersteps":${steady.size},"ckpt_committed":$committed,"iters":$iterJson}""")
     spark.stop()
   }
 }

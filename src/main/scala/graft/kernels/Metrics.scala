@@ -15,14 +15,19 @@ import org.apache.spark.sql.functions._
 object Metrics {
 
   /** Per-seed L1 distance between two score relations (seed, node, score).
-    * Unmapped nodes count as 0.0 on either side — a full-outer join, exactly
-    * the two loops of pprInternal.h:152-162. Returns (seed, norm1). */
+    * Unmapped nodes count as 0.0 on either side, exactly the two loops of
+    * pprInternal.h:152-162. Formulated as union(a, -b) -> per-(seed,node)
+    * sum -> per-seed sum(abs): ONE exchange over |a|+|b| rows instead of a
+    * full-outer join's two — this runs once per superstep in every
+    * tolerance-driven loop, so the exchange count matters. Returns
+    * (seed, norm1). */
   def norm1PerSeed(a: DataFrame, b: DataFrame): DataFrame = {
-    val l = a.select(col("seed"), col("node"), col("score").as("sa"))
-    val r = b.select(col("seed"), col("node"), col("score").as("sb"))
-    l.join(r, Seq("seed", "node"), "full_outer")
+    a.select(col("seed"), col("node"), col("score"))
+      .union(b.select(col("seed"), col("node"), (-col("score")).as("score")))
+      .groupBy(col("seed"), col("node"))
+      .agg(sum(col("score")).as("d"))
       .groupBy(col("seed"))
-      .agg(sum(abs(coalesce(col("sa"), lit(0.0)) - coalesce(col("sb"), lit(0.0)))).as("norm1"))
+      .agg(sum(abs(col("d"))).as("norm1"))
   }
 
   /** max over seeds of norm1PerSeed — the convergence scalar of the driver

@@ -54,10 +54,14 @@ final case class PprConfig(
     saltThreshold: Int = 0,
     /** number of salt buckets for skewed keys. */
     saltBuckets: Int = 8,
-    /** cut lineage (localCheckpoint) every N supersteps; between cuts the
-      * state is persist-chained so its hash(seed) partitioning survives and
-      * each superstep runs with a SINGLE exchange (window strategy). */
-    lineageCutEvery: Int = 8,
+    /** cut lineage (localCheckpoint) every N supersteps. Default 1: Spark 4
+      * LogicalRDD checkpoints PRESERVE the state's hash(seed) output
+      * partitioning (verified: a superstep from a checkpointed state plans
+      * with a single exchange), and depth-1 plans keep Catalyst analysis
+      * cost constant per iteration — a persist-chain (N > 1) instead grows
+      * the logical plan every superstep, which made each convergence-norm
+      * job's ANALYSIS alone cost seconds (measured on the Eat run). */
+    lineageCutEvery: Int = 1,
     /** write a parquet snapshot + manifest every N supersteps (0 = off). */
     checkpointEvery: Int = 0,
     checkpointDir: Option[String] = None,

@@ -151,13 +151,19 @@ object IterativeEngine {
     // its partition has run at least once. W = 1 is the synchronous rule.
     var recent = Vector.fill(math.max(convergenceWindow, 1))(tolerance)
     var maxDiff = tolerance
+    val debugTiming = sys.env.get("SPARK_GRAFT_ITER_DEBUG").contains("1")
     while (i < maxIterations && (tolerance < 0 || recent.max >= tolerance)) {
       val t0 = System.nanoTime()
       val next = materialize(superstep(state, i), i)
+      val tMat = System.nanoTime()
       maxDiff = if (tolerance < 0) Double.NaN else Metrics.maxNorm1(state, next)
+      val tNorm = System.nanoTime()
       if (tolerance >= 0) recent = recent.tail :+ maxDiff
       val needRows = checkpoint.isDefined || tolerance >= 0
       val rows = if (needRows) next.count() else -1L
+      if (debugTiming)
+        println(s"ITERDEBUG it=$i mat=${(tMat - t0) / 1000000}ms norm=${(tNorm - tMat) / 1000000}ms " +
+          s"count=${(System.nanoTime() - tNorm) / 1000000}ms")
       val wallMs = (System.nanoTime() - t0) / 1000000
       // the previous state's checkpoint blocks are unreachable from here on;
       // free them NOW instead of waiting for the ContextCleaner (otherwise

@@ -68,6 +68,31 @@ class ScheduleSpec extends AnyFunSuite with GraphFixtures {
     state.unpersist(); adj.unpersist()
   }
 
+  test("superstep from a localCheckpoint'ed state plans with ONE exchange (depth-1 lineage path)") {
+    // Spark 4's LogicalRDD checkpoint PRESERVES hash output partitioning —
+    // the engine relies on this (lineageCutEvery = 1 default): constant-depth
+    // plans per iteration with no state-side re-shuffle in the gather join.
+    val e = edgesDf(randomGraph(30, 150, seed = 32)); val vs = verticesDf(0L until 30L)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val adj = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), (lit(0.85) / col("outdeg")).as("factor"))
+      .repartition(4, col("dst")).persist()
+    adj.count()
+    val teleport = vs.select(col("id").as("seed"), col("id").as("node"), lit(0.15).as("score"))
+    val state = TopK.pruneTopLAligned(
+      teleport.union(e.join(outdeg, "src").select(col("src").as("seed"),
+        col("dst").as("node"), (lit(0.85) / col("outdeg")).as("score"))), 10, 4)
+      .localCheckpoint(true) // <- the per-iteration lineage cut
+    val gathered = state.join(adj, state("seed") === adj("dst"))
+      .select(col("src").as("seed"), col("node"), (col("score") * col("factor")).as("score"))
+    val superstep = TopK.pruneTopLAligned(gathered.union(teleport), 10, 4)
+    val plan = superstep.queryExecution.executedPlan.toString
+    val live = plan.split("InMemoryTableScan").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(live).size
+    assert(exchanges == 1, s"expected 1 live exchange, got $exchanges:\n$plan")
+    adj.unpersist()
+  }
+
   test("grank result is invariant across shuffle-partition counts (grankMulti contract M4)") {
     // grankMultiThreadTest.cc:384-576: results identical across thread counts.
     // In one JVM the parallelism knobs are shuffle partitioning + repartition

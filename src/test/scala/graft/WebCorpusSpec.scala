@@ -87,4 +87,20 @@ class WebCorpusSpec extends AnyFunSuite with GraphFixtures {
     assert(manifest.contains("\"partitions\":") && manifest.contains("\"history\":")
       && manifest.contains("\"wallMs\""))
   }
+
+  test("checkpoint/resume holds under the Bench/ScalingRun config (window strategy, salting, lineage cuts)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-bench").toString
+    val es = edgesDf(randomGraph(25, 150, seed = 11)); val vs = verticesDf(0L until 25L)
+    def cfg(iters: Int, sub: String) = PprConfig(5, 10, iters, tolerance = -1,
+      topLStrategy = "window", saltThreshold = 3, saltBuckets = 4, lineageCutEvery = 8,
+      checkpointEvery = 2, checkpointDir = Some(s"$dir/$sub"))
+    val full = baskets(GRank.run(es, vs, cfg(6, "full")))
+    GRank.run(es, vs, cfg(4, "resume")).count() // "crash" at 4 (snapshots at 2, 4)
+    val resumed = baskets(GRank.run(es, vs, cfg(6, "resume")))
+    assertAllClose(full, resumed, 1e-12)
+    // manifests under tolerance = -1 must still be valid JSON (maxDiff null)
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/resume/iter_000004/manifest.json"))
+    assert(manifest.contains("\"maxDiff\":null"), manifest.take(200))
+  }
 }
