@@ -115,7 +115,7 @@ object Bench {
 
       // each level in its own CPU-pinned JVM (own GC/IO threads): the
       // closest local analog of running N vs 4N executors
-      def spawn(cores: Int, cpuRange: String): Map[String, Double] = {
+      def spawn(cores: Int, cpuRange: String, itersN: Int = iters): Map[String, Double] = {
         import scala.jdk.CollectionConverters._
         val javaBin = System.getProperty("java.home") + "/bin/java"
         val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -125,7 +125,7 @@ object Bench {
           if (new java.io.File("/usr/bin/taskset").exists()) Seq("/usr/bin/taskset", "-c", cpuRange)
           else Seq.empty
         val cmd = taskset ++ Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.ScalingRun",
-          cores.toString, graphDir, topLStrategy, salt.toString, shuffleParts.toString, iters.toString)
+          cores.toString, graphDir, topLStrategy, salt.toString, shuffleParts.toString, itersN.toString)
         val pb = new ProcessBuilder(cmd: _*)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT) // spark logs -> stderr, keep pipe drained
         val proc = pb.start()
@@ -160,6 +160,20 @@ object Bench {
       val tp8 = nEdges.toDouble / m8
       val tp32 = nEdges.toDouble / m32
       val eff = (tp32 / tp8) / 4.0
+      // Supplementary UNSATURATED pair (2 -> 8 cores, short 4-iteration
+      // runs): at 32 threads this single shared-DRAM box caps any
+      // shuffle+hash-agg job at ~0.6 efficiency — vanilla Spark's own
+      // groupBy/sum control measures the same ceiling (BASELINE.md) — so
+      // the 2->8 pair is where the ENGINE's scaling is observable.
+      val doSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_SMALL", "1") == "1"
+      var smallJson = ""
+      if (doSmall) {
+        val r2b = spawn(2, "0-1", 4)
+        val r8b = spawn(8, "0-7", 4)
+        val eff28 = ((nEdges.toDouble / r8b("min")) / (nEdges.toDouble / r2b("min"))) / 4.0
+        smallJson = s""","min_superstep_sec_2_short":${r2b("min")},"min_superstep_sec_8_short":${r8b("min")},
+                       |"scaling_efficiency_2_to_8":$eff28""".stripMargin.replace("\n", "")
+      }
       scalingJson =
         s"""{"edges":$nEdges,"repeats":$repeats,
            |"total_sec_8":${r8("total")},"total_sec_32":${r32("total")},
@@ -169,7 +183,7 @@ object Bench {
            |"loadavg":${loads.mkString("[", ",", "]")},
            |"supersteps_per_sec_8":${1.0 / m8},"supersteps_per_sec_32":${1.0 / m32},
            |"edges_per_sec_8":$tp8,"edges_per_sec_32":$tp32,
-           |"scaling_efficiency_8_to_32":$eff}""".stripMargin.replace("\n", "")
+           |"scaling_efficiency_8_to_32":$eff$smallJson}""".stripMargin.replace("\n", "")
     } else {
       sparkA.stop()
     }

@@ -60,20 +60,37 @@ object MonteCarloPpr {
   private[graft] def pickSalt(salt: Long): Long = salt * 7919L + 7654321L
 
   def run(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
-      salt: Long = 42L, maxSteps: Int = 200, stepBatch: Int = 8): DataFrame =
+      salt: Long = 42L, maxSteps: Int = 200, stepBatch: Int = 8,
+      broadcastEdgeLimit: Long = 4000000L): DataFrame =
     IterTuning.withoutRuntimeFilters(edges.sparkSession) {
-      runInner(edges, vertices, cfg, salt, maxSteps, stepBatch)
+      runInner(edges, vertices, cfg, salt, maxSteps, stepBatch, broadcastEdgeLimit)
     }
 
   private def runInner(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
-      salt: Long, maxSteps: Int, stepBatch: Int): DataFrame = {
+      salt: Long, maxSteps: Int, stepBatchRaw: Int, broadcastEdgeLimit: Long): DataFrame = {
+    // Catalyst cost grows super-linearly with chained join depth: a 16-step
+    // lazy chain was measured to take minutes to PLAN where 8 executes in
+    // seconds — cap the batch size.
+    val stepBatch = math.min(math.max(stepBatchRaw, 1), 10)
     val r = cfg.iterations
     val d = cfg.damping
+    val spark = edges.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    val adjList = edges.groupBy(col("src"))
+    // The walk is a traversal: every step joins walkers (keyed by the NEW
+    // position) against the adjacency, so the walker side must re-exchange
+    // each step — but the adjacency side must not. Below the broadcast
+    // limit the whole walk chain becomes broadcast-hash joins (a step batch
+    // is ONE narrow stage — the per-step shuffle latency was the dominant
+    // cost at small scale); above it, the adjacency is hash-partitioned by
+    // src once and reused every step.
+    val adjBase = edges.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("dsts"))
       .select(col("src"), col("dsts"), size(col("dsts")).as("outdeg"))
-      .persist()
+    val smallAdj = edges.count() <= broadcastEdgeLimit
+    val adjPersisted =
+      (if (smallAdj) adjBase else adjBase.repartition(shufflePartitions, col("src"))).persist()
+    val adjList = if (smallAdj) broadcast(adjPersisted) else adjPersisted
 
     // ---- phase 1: walk simulation --------------------------------------
     val effective = math.floor(r * d).toLong // floor(R*d), :127-132
@@ -100,13 +117,16 @@ object MonteCarloPpr {
           element_at(col("dsts"), (pick + 1).cast("int")).as("cur"))
     }
 
+    // Per batch: chain `stepBatch` steps lazily with a per-step persist;
+    // the batch-end checkpoint materializes every step once (the persists
+    // keep the chain from recomputing), then visit counts fold into one
+    // bounded accumulator. ~3 jobs per `stepBatch` steps instead of ~2 per
+    // step — driver round-trips were the round-1 MC bottleneck.
     var visitAgg: DataFrame = null // (seed, node, visits) — bounded accumulator
     var step = 1
     var alive = walkers.count()
     while (alive > 0 && step <= maxSteps) {
       val end = math.min(step + stepBatch - 1, maxSteps)
-      // chain the batch lazily; persist each step so the single batch-end
-      // action computes every step exactly once
       var stepFrames = List.empty[DataFrame]
       var cur = walkers
       var s = step
@@ -116,7 +136,7 @@ object MonteCarloPpr {
         s += 1
       }
       walkers = cur.localCheckpoint(true) // ONE action materializes the batch
-      alive = walkers.count()             // O(1)ish on the checkpointed blocks
+      alive = walkers.count()             // cheap on the checkpointed blocks
       val batchVisits = stepFrames
         .map(_.groupBy(col("seed"), col("cur").as("node")).agg(count(lit(1)).as("visits")))
         .reduce(_ union _)
@@ -151,7 +171,7 @@ object MonteCarloPpr {
       .select(col("seed"), col("node"), (col("score") * col("factor")).as("score"))
 
     val result = TopK.topKWindow(combined, cfg.K).localCheckpoint(true)
-    adjList.unpersist()
+    adjPersisted.unpersist()
     result
   }
 }
