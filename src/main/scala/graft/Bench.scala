@@ -72,15 +72,19 @@ object Bench {
     val sparkA = session(cpus, math.max(cpus, 8))
     var errors = Map.empty[String, String]
     val results = if (doHeadline) headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
+      SparkEntry.queries.get(name).flatMap { fn =>
         val t0 = System.nanoTime()
-        // a failed headline query must be VISIBLE in the JSON (errors map),
-        // never scored as a fast success
-        try { fn(sparkA, sfDir).count() } catch {
+        // a failed headline query must be VISIBLE in the JSON (errors map)
+        // and must NOT contribute a (fast-failing) time to queries/total —
+        // a driver reading only the metric would score a crash as a win
+        try {
+          fn(sparkA, sfDir).count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
             errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+            None
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
     } else Seq.empty
 

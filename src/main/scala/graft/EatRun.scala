@@ -51,45 +51,67 @@ object EatRun {
 
     val grankIters = sys.env.getOrElse("SPARK_GRAFT_EAT_ITERS", "30").toInt
     val grankTol = sys.env.getOrElse("SPARK_GRAFT_EAT_TOL", "1e-4").toDouble
+    // independent toggles: MC runs (and is timed) even when quality is off
     val doMc = sys.env.getOrElse("SPARK_GRAFT_EAT_MC", "1") == "1"
     val doQuality = sys.env.getOrElse("SPARK_GRAFT_EAT_QUALITY", "1") == "1"
-    val (grankRes, tG) = timed(s"grank(K=50,L=100,iter=$grankIters,tol=$grankTol)") {
+    // long-run default: RELIABLE snapshots every ~8 supersteps, not just
+    // localCheckpoint lineage (VERDICT r2 #5) — a 30-iteration production
+    // run should be resumable from a committed manifest
+    val ckptEvery = sys.env.getOrElse("SPARK_GRAFT_EAT_CKPT", "8").toInt
+    val ckptDir = s"/tmp/graft-eat-ckpt-${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+
+    def metric(rows: Array[org.apache.spark.sql.Row], name: String): Double =
+      rows.find(_.getString(0) == name).get.getDouble(1)
+    def num(d: Double): String = if (d.isNaN) "null" else d.toString
+
+    val (grankRes, tG) = timed(s"grank(K=50,L=100,iter=$grankIters,tol=$grankTol,ckptEvery=$ckptEvery)") {
       val r = GRank.runWithMetrics(edges, vertices,
         PprConfig(K = 50, L = 100, iterations = grankIters, tolerance = grankTol,
-          topLStrategy = "window"))
+          topLStrategy = "window", checkpointEvery = ckptEvery, checkpointDir = Some(ckptDir)))
       r.state.persist().count(); r
     }
     println("EAT grank iters: " + grankRes.history
       .map(h => f"it${h.iteration}%d=${h.wallMs}%dms/diff=${h.maxDiff}%.2e").mkString(" "))
+    println("EAT grank ckpt committed: " +
+      new graft.operators.CheckpointManager(ckptDir).committed().mkString(","))
     val grank = grankRes.state
-    if (!doQuality) { spark.stop(); return }
-    val (qG, tQG) = timed("quality(grank,200,strict)") {
-      Quality.evaluate(grank, edges, vertices, testNodes = 200, strict = true).collect()
-    }
-    def metric(rows: Array[org.apache.spark.sql.Row], name: String): Double =
-      rows.find(_.getString(0) == name).get.getDouble(1)
-    val gJa = metric(qG, "jaccard average"); val gJm = metric(qG, "jaccard min")
-    val gKa = metric(qG, "kendall average")
-    println(f"EAT grank quality: jaccard avg=$gJa%.4f min=$gJm%.4f kendall avg=$gKa%.4f")
-    grank.unpersist()
-    if (!doMc) { spark.stop(); return }
 
-    val (mc, tM) = timed("mc(K=50,L=200,R=1000)") {
-      val r = MonteCarloPpr.run(edges, vertices,
-        PprConfig(K = 50, L = 200, iterations = 1000, topLStrategy = "window")).persist()
-      r.count(); r
+    var gJa = Double.NaN; var gJm = Double.NaN; var gKa = Double.NaN; var tQG = Double.NaN
+    if (doQuality) {
+      val (qG, t) = timed("quality(grank,200,strict)") {
+        Quality.evaluate(grank, edges, vertices, testNodes = 200, strict = true).collect()
+      }
+      tQG = t
+      gJa = metric(qG, "jaccard average"); gJm = metric(qG, "jaccard min")
+      gKa = metric(qG, "kendall average")
+      println(f"EAT grank quality: jaccard avg=$gJa%.4f min=$gJm%.4f kendall avg=$gKa%.4f")
     }
-    val (qM, tQM) = timed("quality(mc,200,strict)") {
-      Quality.evaluate(mc, edges, vertices, testNodes = 200, strict = true).collect()
+    grank.unpersist()
+
+    var mJa = Double.NaN; var mKa = Double.NaN; var tM = Double.NaN; var tQM = Double.NaN
+    if (doMc) {
+      val (mc, t) = timed("mc(K=50,L=200,R=1000)") {
+        val r = MonteCarloPpr.run(edges, vertices,
+          PprConfig(K = 50, L = 200, iterations = 1000, topLStrategy = "window")).persist()
+        r.count(); r
+      }
+      tM = t
+      if (doQuality) {
+        val (qM, t2) = timed("quality(mc,200,strict)") {
+          Quality.evaluate(mc, edges, vertices, testNodes = 200, strict = true).collect()
+        }
+        tQM = t2
+        mJa = metric(qM, "jaccard average"); mKa = metric(qM, "kendall average")
+        println(f"EAT mc quality: jaccard avg=$mJa%.4f kendall avg=$mKa%.4f")
+      }
+      mc.unpersist()
     }
-    val mJa = metric(qM, "jaccard average"); val mKa = metric(qM, "kendall average")
-    println(f"EAT mc quality: jaccard avg=$mJa%.4f kendall avg=$mKa%.4f")
-    mc.unpersist()
 
     println(
-      s"""EATRUN {"nodes":$nV,"edges":$nE,"grank_sec":$tG,"grank_jaccard_avg":$gJa,""" +
-      s""""grank_jaccard_min":$gJm,"grank_kendall_avg":$gKa,"quality_grank_sec":$tQG,""" +
-      s""""mc_sec":$tM,"mc_jaccard_avg":$mJa,"mc_kendall_avg":$mKa,"quality_mc_sec":$tQM}""")
+      s"""EATRUN {"nodes":$nV,"edges":$nE,"grank_sec":$tG,"grank_jaccard_avg":${num(gJa)},""" +
+      s""""grank_jaccard_min":${num(gJm)},"grank_kendall_avg":${num(gKa)},"quality_grank_sec":${num(tQG)},""" +
+      s""""mc_sec":${num(tM)},"mc_jaccard_avg":${num(mJa)},"mc_kendall_avg":${num(mKa)},"quality_mc_sec":${num(tQM)}}""")
     spark.stop()
   }
 }

@@ -390,7 +390,7 @@ object OracleSql {
     * parity of the shortest undirected distance from the component's
     * minimum-id vertex. Components via the recursive min-propagation CTE;
     * distances via a bounded BFS recursion (dedup on (id, dist) rows). */
-  def twoColoring(maxDist: Int = 64): String =
+  def twoColoring(maxDist: Int = 100): String =
     s"""WITH RECURSIVE
        | e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
        | v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),

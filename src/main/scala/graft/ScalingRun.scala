@@ -37,14 +37,17 @@ object ScalingRun {
     val vertices = spark.read.parquet(s"$graphDir/vertices").persist()
     edges.count(); vertices.count()
     // reliable checkpointing ON in the measured config (the 100-TB story
-    // must not rest on non-recoverable localCheckpoint): one parquet
-    // snapshot + manifest at iteration `iters`. The dir is wiped first so
-    // a previous run's committed snapshot can't trigger a resume.
-    val ckptDir = s"/tmp/graft-scaling-ckpt-$cores"
+    // must not rest on non-recoverable localCheckpoint): PERIODIC parquet
+    // snapshots + manifests every ceil(iters/2) supersteps (>= 2 committed
+    // per run). The dir carries the PID so two concurrent runs at the same
+    // core count can't wipe each other's snapshots or trigger a bogus
+    // resume; it is wiped first so a previous run can't either.
+    val ckptDir = s"/tmp/graft-scaling-ckpt-$cores-${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    val ckptEvery = math.max((iters + 1) / 2, 1)
     val cfg = PprConfig(K = 50, L = 100, iterations = iters, tolerance = -1,
       topLStrategy = strategy, saltThreshold = salt, saltBuckets = 8,
-      checkpointEvery = iters, checkpointDir = Some(ckptDir))
+      checkpointEvery = ckptEvery, checkpointDir = Some(ckptDir))
     val t0 = System.nanoTime()
     val res = GRank.runWithMetrics(edges, vertices, cfg)
     res.state.count()

@@ -74,8 +74,9 @@ object SparkEntry {
       Metrics.norm1PerSeed(v(1995), v(1996))
         .select(col("norm1").cast("long").as("norm1"))
     }),
-    // ---- triangle count ----------------------------------------------------
-    "q_triangle_count" -> ((s, dir) => Triangles.countAll(graph(s, dir)._1)),
+    // ---- triangle count (degree-ordered orientation — the hub-skew-
+    // minimizing default; id-ordered countAll is equivalence-tested) -------
+    "q_triangle_count" -> ((s, dir) => Triangles.countByDegreeOrder(graph(s, dir)._1)),
     // ---- iterative graph operators -----------------------------------------
     // Verification configs are fully deterministic (tolerance = -1: never
     // converge early, include/grank.h:56-57) and run in fixed-point mode
@@ -121,10 +122,8 @@ object SparkEntry {
         .select(col("metric"), round(col("value"), 9).as("value"))
     }),
     // ---- text / documents ---------------------------------------------------
-    "q_dedup_exact" -> ((s, dir) =>
-      t(s, dir, "documents").groupBy(col("text"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
-        .select(col("keep_id"), col("copies"))),
+    // hash-grouped plan: the exchange ships 8-byte keys, not documents
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "q_doc_lengths" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), length(col("text")).cast("long").as("text_len"))),
     // ---- events -----------------------------------------------------------
@@ -133,10 +132,12 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(unix_timestamp(col("h")).as("hour_epoch"), col("event_type"), col("n"))),
+    // quantize=1e6: fixed-point grid sum — the one float-sum compare in the
+    // contract that was still addend-order-dependent (ADVICE r2)
     "q_window_agg" -> ((s, dir) =>
-      EventStream.windowedAgg(t(s, dir, "events"))
+      EventStream.windowedAgg(t(s, dir, "events"), quantize = 1e6)
         .select(unix_timestamp(col("window_start")).as("window_epoch"),
-          col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))),
+          col("event_type"), col("n"), col("sum_value"))),
     "q_sessionize" -> ((s, dir) =>
       EventStream.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)
         .select(col("user_id"),
@@ -252,7 +253,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_window_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch, event_type, count(*) AS n,
-        |       round(sum(value), 6) AS sum_value
+        |       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev FROM events),

@@ -14,11 +14,40 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: one representative (min id) per identical text. */
+  /** Exact dedup: one representative (min id) per identical text.
+    *
+    * Scale shape: groups on xxhash64(text) so the shuffle key is 8 bytes,
+    * never the document payload (grouping by raw text ships every document
+    * through the exchange). Correctness is NOT entrusted to the hash: an
+    * independent second hash rides along as min/max aggregates, and any
+    * bucket where it disagrees (a would-be h1 collision between distinct
+    * texts) is re-grouped by full text — that escalation join touches only
+    * the collided buckets (none, in practice; both-hash joint collisions
+    * are a 128-bit event). */
   def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    df.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+    exactWithHashes(df, idCol, textCol,
+      xxhash64(col(textCol)), xxhash64(col(textCol), lit(0x9E3779B9L)))
+
+  /** [[exact]] with injectable hash columns (lets tests force collisions to
+    * exercise the escalation path). */
+  private[graft] def exactWithHashes(df: DataFrame, idCol: String, textCol: String,
+      h1: org.apache.spark.sql.Column, h2: org.apache.spark.sql.Column): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), h1.as("h1"), h2.as("h2"))
+    val grouped = hashed.groupBy("h1")
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("copies"),
+        min(col("h2")).as("lo2"), max(col("h2")).as("hi2"))
+      .persist()
+    val clean = grouped.where(col("lo2") === col("hi2")).select(col("keep_id"), col("copies"))
+    val collided = grouped.where(col("lo2") =!= col("hi2")).select(col("h1"))
+    val fix = df.select(col(idCol).as("id"), col(textCol).as("t"), h1.as("h1"))
+      .join(broadcast(collided), Seq("h1"), "left_semi")
+      .groupBy(col("t"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("copies"))
       .select(col("keep_id"), col("copies"))
+    val res = clean.union(fix).localCheckpoint(true)
+    grouped.unpersist()
+    res
+  }
 
   /** Word k-shingles (token n-grams) of the text. */
   def tokenShingles(text: Column, k: Int = 3): Column = {
@@ -60,6 +89,55 @@ object Dedup {
     // materialize before releasing the signature cache (result is candidate-
     // bounded and small; the cache would otherwise pin executor memory for
     // the session's lifetime)
+    val res = verifyJaccard(cand, withSig.select(col("id"), col("sh")), threshold)
+      .localCheckpoint(true)
+    withSig.unpersist()
+    res
+  }
+
+  /** SQL-replayable polynomial string hash mod 2^31-1 (char-code left fold,
+    * h = (h*31 + code) % P): shingles are ASCII by construction (lowercased
+    * word tokens joined by spaces), so DuckDB's ascii() sees the exact same
+    * codes. Used by [[minhashLshMix]] so the ENTIRE minhash+banding pipeline
+    * is oracle-replayable at thresholds < 1 (VERDICT r2 #4). */
+  private[graft] def polyHash(s: Column): Column =
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(transform(sequence(lit(1), length(s)), i => ascii(substring(s, i, lit(1))).cast("long")),
+        lit(0L), (a, c) => pmod(a * 31L + c, lit(graft.kernels.Mix.P))))
+
+  private[graft] def permSalt(salt: Long): Long = salt * 7919L + 333331L
+  private[graft] def bandSalt(salt: Long): Long = salt * 7919L + 444441L
+
+  /** MinHash + LSH banding with the seeded quadratic mixer in place of
+    * xxhash64 — semantically the same candidate-generation + verify shape as
+    * [[minhashLsh]], but every draw (shingle hash, permutation, band hash)
+    * is a pure mod-2^31-1 function an external SQL oracle replays exactly.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
+    * restricted to pairs sharing >= 1 (band, band-hash) bucket. */
+  def minhashLshMix(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.7, salt: Long = 42L): DataFrame = {
+    val perms = bands * rowsPerBand
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("sh", array_distinct(tokenShingles(col("t"), shingleK)))
+      // hash each distinct shingle ONCE; permutations then mix the 8-byte
+      // hash, not the string (perms * |sh| cheap mixes, one char fold)
+      .withColumn("hs", transform(col("sh"), s => polyHash(s)))
+      .withColumn("sig", transform(sequence(lit(0), lit(perms - 1)),
+        p => coalesce(
+          array_min(transform(col("hs"), h => graft.kernels.Mix.mix31(h, p, lit(0L), permSalt(salt)))),
+          lit(graft.kernels.Mix.P))))
+      .persist()
+    val banded = withSig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          lit(0L), (a, x) => graft.kernels.Mix.mix31(a, x, b, bandSalt(salt))))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bhash"))
+    val cand = banded.as("x").join(banded.as("y"),
+      col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
     val res = verifyJaccard(cand, withSig.select(col("id"), col("sh")), threshold)
       .localCheckpoint(true)
     withSig.unpersist()
@@ -147,7 +225,7 @@ object Dedup {
     * Returns (id_a, id_b, cosine). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12, seed: Long = 42L): DataFrame = {
-    val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes, seed)
+    val sigCol = Similarity.signatureFor(df, vecCol, planes, seed)
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("sig")).persist()
     // multi-probe: bucket on the full signature AND each one-bit flip would
     // explode candidates; two half-signatures give Hamming<=1-per-half recall

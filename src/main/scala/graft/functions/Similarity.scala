@@ -49,6 +49,40 @@ object Similarity {
   private[graft] def planeComponentOf(i: Column, p: Column, seed: Long): Column =
     (pmod(graft.kernels.Mix.mix31(i, p, lit(0L), seed * 7919L + 555557L), lit(2000001L)) - 1000000L) / 1000000.0
 
+  /** The same plane component as a driver-side scalar (bit-identical: the
+    * mixer is pure integer arithmetic and the final division is the same
+    * single IEEE-754 op). Materializing the plane matrix ONCE as literals
+    * removes the O(dims*planes) per-row mixer re-evaluation that made the
+    * expression-only signature ~2.7x slower (BENCH_r02 q_ann_lsh). */
+  private[graft] def planeComponentScala(i: Long, p: Long, seed: Long): Double =
+    (graft.kernels.Mix.mix31Scala(i, p, 0L, seed * 7919L + 555557L) % 2000001L - 1000000L) / 1000000.0
+
+  /** [[hyperplaneSignature]] with the plane matrix precomputed as literal
+    * arrays (requires the embedding dimensionality). Output is bit-identical
+    * to the expression form: same components, same left-fold addition order. */
+  def hyperplaneSignatureLit(vec: Column, planes: Int, dims: Int, seed: Long): Column = {
+    require(planes <= 63, "signature is packed into one LONG")
+    val bits = (0 until planes).map { p =>
+      val row = typedLit((0 until dims).map(i => planeComponentScala(i.toLong, p.toLong, seed)))
+      val proj = aggregate(zip_with(vec, row, (v, r) => v * r), lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Embedding dimensionality probe (first row; -1 on an empty frame). */
+  private def dimsOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(-1)
+
+  /** Signature column for `df`: literal-plane form when the dimensionality
+    * is known (one 1-row probe), expression form otherwise. */
+  private[graft] def signatureFor(df: DataFrame, vecCol: String, planes: Int, seed: Long): Column = {
+    val d = dimsOf(df, vecCol)
+    if (d > 0) hyperplaneSignatureLit(col(vecCol), planes, d, seed)
+    else hyperplaneSignature(col(vecCol), planes, seed)
+  }
+
   /** Exact brute-force cosine top-k: every query row scored against every
     * corpus row (the correctness baseline; O(|Q|*|C|) — pair it with
     * [[lshTopK]] at scale). Returns (seed = query id, node = corpus id,
@@ -71,7 +105,7 @@ object Similarity {
       planes: Int = 12, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def halves(df: DataFrame, side: String) = {
-      val sig = hyperplaneSignature(col(vecCol), planes, seed)
+      val sig = signatureFor(df, vecCol, planes, seed)
       df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_v"), sig.as("sig"))
         .select(col(s"${side}_id"), col(s"${side}_v"), posexplode(array(
           col("sig").bitwiseAND(lit((1L << (planes / 2)) - 1)),

@@ -31,6 +31,17 @@ object Mix {
   def uniform(a: Column, b: Column, c: Column, salt: Long): Column =
     mix31(a, b, c, salt) / lit(P.toDouble)
 
+  /** The same mixer as a driver-side scalar (pure Long arithmetic — every
+    * intermediate stays < 2^63, exactly as in the Column form), so plane
+    * matrices / sampled constants can be materialized ONCE as literals
+    * instead of re-mixed per row. */
+  def mix31Scala(a: Long, b: Long, c: Long, salt: Long): Long = {
+    def pm(x: Long): Long = { val m = x % P; if (m < 0) m + P else m }
+    val h = pm(pm(a) * 48271L + pm(b) * 16807L + pm(c) * 69621L + salt)
+    val h2 = pm(h * h + h + 12345L)
+    pm(h2 * h2 + h2 + 67890L)
+  }
+
   /** The same mixer as a single inline DuckDB SQL expression (nested text;
     * `%` is safe because every engine-side input here is nonnegative). */
   def sql(a: String, b: String, c: String, salt: Long): String = {

@@ -13,15 +13,95 @@ import graft.sources.EdgeSource
   */
 object Components {
 
+  /** Connected components — the DEFAULT is large-star/small-star contraction
+    * ([[connectedComponentsStar]]): rounds grow with log of the largest
+    * component, not its diameter, which is the 100-TB requirement (a web
+    * crawl contains long path-ish chains; min-id propagation needs one round
+    * per hop). Min-id propagation is kept as [[connectedComponentsMinId]] —
+    * the independently-shaped second implementation both the ScalaTest
+    * equivalence spec and the driver's recursive-CTE oracle check against.
+    * Returns (id, comp = minimum id of the component). */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame, maxIterations: Int = 100): DataFrame =
+    connectedComponentsStar(edges, vertices, maxIterations)
+
+  /** The alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    *
+    *   large-star: for every vertex u, link every STRICTLY LARGER neighbor
+    *               v > u to m = min(N(u) ∪ {u})
+    *   small-star: orient edges high->low; link every smaller neighbor and u
+    *               itself to m = min(N<=(u) ∪ {u})
+    *
+    * Both steps preserve connectivity and monotonically shrink edge ids;
+    * the fixpoint is a collection of stars centered at each component's
+    * minimum vertex. Round count is O(log^2 n) worst case and ~log n in
+    * practice (a 10k-vertex path converges in ~10 rounds — test-gated —
+    * where min-id propagation needs 10k). Each round is two groupBy+join
+    * passes over the current edge set, which CONTRACTS geometrically —
+    * unlike propagation, whose per-round cost stays at |E| forever. */
+  def connectedComponentsStar(edges: DataFrame, vertices: DataFrame, maxIterations: Int = 100): DataFrame =
+    connectedComponentsStarWithRounds(edges, vertices, maxIterations)._1
+
+  /** [[connectedComponentsStar]] plus the number of contraction rounds it
+    * took — the test-gated O(log n) evidence. */
+  private[graft] def connectedComponentsStarWithRounds(
+      edges: DataFrame, vertices: DataFrame, maxIterations: Int = 100): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val b = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = b.groupBy(col("src").as("lu"))
+        .agg(min(col("dst")).as("mv"))
+        .select(col("lu"), least(col("mv"), col("lu")).as("m"))
+      b.join(mins, b("src") === col("lu"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .dropDuplicates("src", "dst")
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+      val mins = o.groupBy(col("src").as("lu")).agg(min(col("dst")).as("m"))
+      val viaNbr = o.join(mins, o("src") === col("lu"))
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val viaSelf = mins.where(col("lu") =!= col("m")).select(col("lu").as("src"), col("m").as("dst"))
+      viaNbr.union(viaSelf).dropDuplicates("src", "dst")
+    }
+    // set fingerprint (count + commutative hash XOR — the edge set is
+    // deduplicated, and XOR cannot overflow under ANSI mode): one job per
+    // round riding the freshly checkpointed frame
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val row = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    var e = EdgeSource.undirected(edges)
+      .where(col("src") < col("dst")) // one canonical row per undirected pair
+      .localCheckpoint(true)
+    var fp = fingerprint(e)
+    var done = e.isEmpty
+    var i = 0
+    while (!done && i < maxIterations) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      done = nfp == fp
+      fp = nfp
+      e = next
+      i += 1
+    }
+    // fixpoint edges are (child -> component-min root); roots and isolated
+    // vertices map to themselves
+    val mapping = e.groupBy(col("src").as("id")).agg(min(col("dst")).as("comp"))
+    val res = vertices.join(mapping, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    (res, i)
+  }
+
   /** Connected components by iterative min-id propagation: comp(v) starts at
     * v; each superstep takes min(comp(v), min over neighbors comp(u));
     * fixpoint when nothing changes. Exact, deterministic. Returns (id, comp).
     *
-    * Scale note: rounds = graph diameter; each round is one join + one
-    * hash-agg on the persisted undirected edge relation. For 100TB graphs a
-    * large-star/small-star contraction halves round count, but min-id keeps
-    * the exact-match contract trivially and each round is shuffle-minimal. */
-  def connectedComponents(edges: DataFrame, vertices: DataFrame, maxIterations: Int = 100): DataFrame = {
+    * Rounds = graph diameter — fine on small-diameter graphs, pathological
+    * on chains; the default entry point is [[connectedComponentsStar]]. */
+  def connectedComponentsMinId(edges: DataFrame, vertices: DataFrame, maxIterations: Int = 100): DataFrame = {
     val und = EdgeSource.undirected(edges).persist()
     var state = vertices.select(col("id"), col("id").as("comp")).localCheckpoint(true)
     var changed = 1L

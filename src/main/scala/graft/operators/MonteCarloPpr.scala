@@ -49,11 +49,21 @@ import graft.model.PprConfig
   * per-step persist (every step computed exactly once), then runs ONE
   * action. Driver round-trips are steps/stepBatch, not ~2*steps; visit
   * counts fold into a single bounded accumulator per batch (constant plan
-  * depth), never an O(steps)-deep union.
+  * depth), never an O(steps)-deep union. Walker VOLUME is bounded by
+  * `walkerBudget`: the walkId range [0, floor(R*d)) is split into chunks of
+  * <= walkerBudget/|origins| ids and walked chunk-by-chunk into the shared
+  * visit accumulator — peak in-flight rows <= walkerBudget instead of
+  * |V|*floor(R*d) (at R=1000 that is 850 rows PER VERTEX), bit-identically
+  * (every draw is a pure function of seed/absolute-walkId/step).
   */
 object MonteCarloPpr {
 
   import graft.kernels.Mix.{mix31, P}
+
+  /** Walk-phase volume evidence: peak walker rows in flight at any step,
+    * walk chunks executed, walking origins, and the UNchunked peak
+    * (origins * floor(R*d)) the budget protected against. */
+  final case class McWalkStats(maxInFlight: Long, chunks: Int, origins: Long, unchunkedPeak: Long)
 
   /** Salt constants shared with the DuckDB oracle (OracleSql.mcPpr). */
   private[graft] def survivalSalt(salt: Long): Long = salt * 7919L + 1234567L
@@ -61,13 +71,22 @@ object MonteCarloPpr {
 
   def run(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
       salt: Long = 42L, maxSteps: Int = 200, stepBatch: Int = 8,
-      broadcastEdgeLimit: Long = 4000000L): DataFrame =
+      broadcastEdgeLimit: Long = 4000000L,
+      walkerBudget: Long = 100000000L): DataFrame =
+    runWithStats(edges, vertices, cfg, salt, maxSteps, stepBatch,
+      broadcastEdgeLimit, walkerBudget)._1
+
+  def runWithStats(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
+      salt: Long = 42L, maxSteps: Int = 200, stepBatch: Int = 8,
+      broadcastEdgeLimit: Long = 4000000L,
+      walkerBudget: Long = 100000000L): (DataFrame, McWalkStats) =
     IterTuning.withoutRuntimeFilters(edges.sparkSession) {
-      runInner(edges, vertices, cfg, salt, maxSteps, stepBatch, broadcastEdgeLimit)
+      runInner(edges, vertices, cfg, salt, maxSteps, stepBatch, broadcastEdgeLimit, walkerBudget)
     }
 
   private def runInner(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
-      salt: Long, maxSteps: Int, stepBatchRaw: Int, broadcastEdgeLimit: Long): DataFrame = {
+      salt: Long, maxSteps: Int, stepBatchRaw: Int, broadcastEdgeLimit: Long,
+      walkerBudget: Long): (DataFrame, McWalkStats) = {
     // Catalyst cost grows super-linearly with chained join depth: a 16-step
     // lazy chain was measured to take minutes to PLAN where 8 executes in
     // seconds — cap the batch size.
@@ -94,13 +113,21 @@ object MonteCarloPpr {
 
     // ---- phase 1: walk simulation --------------------------------------
     val effective = math.floor(r * d).toLong // floor(R*d), :127-132
-    var walkers = vertices
+    // 100-TB walker-volume bound: all |V|*floor(R*d) walks at once is the
+    // one shape the single-machine reference never faces (its walkNode is
+    // lazy per node, include/mccompletepathv2.h:230-241). The walkId range
+    // is split into chunks of <= walkerBudget/|origins| ids, and the walk
+    // loop runs once per chunk — every mix31 draw is a pure function of
+    // (seed, ABSOLUTE walkId, step), so chunked and unchunked runs are
+    // bit-identical; only peak in-flight rows change.
+    val walkOrigins = vertices
       .join(adjList, vertices("id") === adjList("src"), "inner") // dangling origins never walk
       .select(col("id").as("seed"), col("id").as("cur"))
-      .where(lit(effective) > 0)
-      .select(col("seed"), col("cur"),
-        explode(sequence(lit(0L), lit(math.max(effective - 1, 0L)))).as("walkId"))
-      .localCheckpoint(true)
+      .persist()
+    val nOrigins = walkOrigins.count()
+    val chunkSize =
+      if (walkerBudget <= 0 || nOrigins == 0) math.max(effective, 1L)
+      else math.max(1L, math.min(effective, walkerBudget / nOrigins))
 
     def oneStep(cur: DataFrame, step: Int): DataFrame = {
       val survivors =
@@ -123,29 +150,43 @@ object MonteCarloPpr {
     // bounded accumulator. ~3 jobs per `stepBatch` steps instead of ~2 per
     // step — driver round-trips were the round-1 MC bottleneck.
     var visitAgg: DataFrame = null // (seed, node, visits) — bounded accumulator
-    var step = 1
-    var alive = walkers.count()
-    while (alive > 0 && step <= maxSteps) {
-      val end = math.min(step + stepBatch - 1, maxSteps)
-      var stepFrames = List.empty[DataFrame]
-      var cur = walkers
-      var s = step
-      while (s <= end) {
-        cur = oneStep(cur, s).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        stepFrames ::= cur
-        s += 1
+    var maxInFlight = 0L
+    var nChunks = 0
+    var chunkLo = 0L
+    while (chunkLo < effective) {
+      val chunkHi = math.min(effective, chunkLo + chunkSize)
+      nChunks += 1
+      var walkers = walkOrigins
+        .select(col("seed"), col("cur"),
+          explode(sequence(lit(chunkLo), lit(chunkHi - 1))).as("walkId"))
+        .localCheckpoint(true)
+      var step = 1
+      var alive = walkers.count()
+      maxInFlight = math.max(maxInFlight, alive)
+      while (alive > 0 && step <= maxSteps) {
+        val end = math.min(step + stepBatch - 1, maxSteps)
+        var stepFrames = List.empty[DataFrame]
+        var cur = walkers
+        var s = step
+        while (s <= end) {
+          cur = oneStep(cur, s).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          stepFrames ::= cur
+          s += 1
+        }
+        walkers = cur.localCheckpoint(true) // ONE action materializes the batch
+        alive = walkers.count()             // cheap on the checkpointed blocks
+        val batchVisits = stepFrames
+          .map(_.groupBy(col("seed"), col("cur").as("node")).agg(count(lit(1)).as("visits")))
+          .reduce(_ union _)
+        visitAgg = (if (visitAgg == null) batchVisits else visitAgg.union(batchVisits))
+          .groupBy(col("seed"), col("node")).agg(sum(col("visits")).as("visits"))
+          .localCheckpoint(true) // reads the cached step frames; bounded depth
+        stepFrames.foreach(_.unpersist(false))
+        step = end + 1
       }
-      walkers = cur.localCheckpoint(true) // ONE action materializes the batch
-      alive = walkers.count()             // cheap on the checkpointed blocks
-      val batchVisits = stepFrames
-        .map(_.groupBy(col("seed"), col("cur").as("node")).agg(count(lit(1)).as("visits")))
-        .reduce(_ union _)
-      visitAgg = (if (visitAgg == null) batchVisits else visitAgg.union(batchVisits))
-        .groupBy(col("seed"), col("node")).agg(sum(col("visits")).as("visits"))
-        .localCheckpoint(true) // reads the cached step frames; bounded depth
-      stepFrames.foreach(_.unpersist(false))
-      step = end + 1
+      chunkLo = chunkHi
     }
+    walkOrigins.unpersist()
 
     val selfVisits = vertices.select(col("id").as("seed"), col("id").as("node"),
       lit(r.toLong).as("visits")) // origin counted R times (:124, :162-163)
@@ -172,6 +213,6 @@ object MonteCarloPpr {
 
     val result = TopK.topKWindow(combined, cfg.K).localCheckpoint(true)
     adjPersisted.unpersist()
-    result
+    (result, McWalkStats(maxInFlight, nChunks, nOrigins, nOrigins * effective))
   }
 }

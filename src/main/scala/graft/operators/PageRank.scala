@@ -31,8 +31,11 @@ object PageRank {
     val adj = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(damping) / col("outdeg")).as("factor"))
       .persist()
-    val withDeg = vertices.join(outdeg, vertices("id") === outdeg("src"), "left")
-      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")).persist()
+    // dangling (outdeg-0) vertex set, computed once — the per-superstep leak
+    // aggregate only semi-joins against THIS (usually small) relation
+    // instead of the full degree table
+    val dangling = vertices.join(outdeg, vertices("id") === outdeg("src"), "left_anti")
+      .select(col("id")).persist()
 
     val init = vertices.select(lit(0L).as("seed"), col("id").as("node"),
       lit(1.0 / n).as("score"))
@@ -46,8 +49,7 @@ object PageRank {
       // the dangling-mass scalar is folded INTO the plan as a broadcast
       // 1-row aggregate (no driver-side action: each superstep is ONE job;
       // a .head() here would serialize an extra full pass per iteration)
-      val leak = state.join(withDeg, state("node") === withDeg("id"))
-        .where(col("outdeg") === 0)
+      val leak = state.join(dangling, state("node") === dangling("id"), "left_semi")
         .agg(leakSum)
       val base = vertices.crossJoin(broadcast(leak))
         .select(col("id").as("node"),
@@ -61,7 +63,7 @@ object PageRank {
     }
 
     val res = IterativeEngine.run(init, superstep, iterations, tolerance)
-    adj.unpersist(); withDeg.unpersist()
+    adj.unpersist(); dangling.unpersist()
     res.state.select(col("node"), col("score"))
   }
 }

@@ -99,16 +99,19 @@ object Quality {
       .select(col("seed"), col("x"), coalesce(col("y"), lit(0.0)).as("y"))
     val ken = Metrics.kendallPerSeed(pairs)
 
-    val jk = jac.join(ken, Seq("seed"), "full_outer")
+    // single driver action: jaccard/kendall aggregates AND the average
+    // basket size fold into ONE agg row (sizes covers exactly the sampled
+    // seeds, as do jac/ken — the joins below are key-complete)
+    val jk = jac.join(ken, Seq("seed"), "full_outer").join(sizes, Seq("seed"), "full_outer")
     val aggRow = jk.agg(
       avg("jaccard").as("ja"), min("jaccard").as("jm"),
-      avg("kendall").as("ka"), min("kendall").as("km")).head()
-    val avgSize = sizes.agg(avg(col("bsize"))).head().getDouble(0)
+      avg("kendall").as("ka"), min("kendall").as("km"),
+      avg(col("bsize").cast("double")).as("asize")).head()
 
     Seq(
       ("jaccard average", aggRow.getDouble(0)), ("jaccard min", aggRow.getDouble(1)),
       ("kendall average", aggRow.getDouble(2)), ("kendall min", aggRow.getDouble(3)),
-      ("average map size", avgSize))
+      ("average map size", aggRow.getDouble(4)))
       .toDF("metric", "value")
   }
 }

@@ -21,6 +21,34 @@ import graft.sources.EdgeSource
   */
 object Triangles {
 
+  /** Wedge rows each orientation's closing join must process — the skew
+    * evidence (computed from degree aggregates, no wedge materialization):
+    * id-order wedges = sum_b inDeg(b)*outDeg(b) over low->high edges;
+    * degree-order wedges = sum_a C(fwdDeg(a), 2). On hub-heavy graphs the
+    * degree ordering is orders of magnitude smaller (BASELINE.md row). */
+  def wedgeCounts(edges: DataFrame): DataFrame = {
+    val e = EdgeSource.canonical(edges).persist()
+    val idOrder = e.select(col("dst").as("id"), lit(1L).as("i"), lit(0L).as("o"))
+      .union(e.select(col("src").as("id"), lit(0L).as("i"), lit(1L).as("o")))
+      .groupBy("id").agg(sum("i").as("ind"), sum("o").as("outd"))
+      .agg(coalesce(sum(col("ind") * col("outd")), lit(0L)).as("n"))
+      .select(lit("id_order").as("orientation"), col("n").as("n_wedges"))
+    val deg = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val fwd = e
+      .join(deg.withColumnsRenamed(Map("id" -> "sid", "deg" -> "sdeg")), col("src") === col("sid"))
+      .join(deg.withColumnsRenamed(Map("id" -> "did", "deg" -> "ddeg")), col("dst") === col("did"))
+      .select(when(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")), col("src"))
+        .otherwise(col("dst")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("fd"))
+      .agg(coalesce(sum(col("fd") * (col("fd") - 1)), lit(0L)).as("n2"))
+      .select(lit("degree_order").as("orientation"),
+        shiftright(col("n2"), 1).as("n_wedges")) // n2 is even; exact long halving
+    val res = idOrder.union(fwd).localCheckpoint(true)
+    e.unpersist()
+    res
+  }
+
   /** Global triangle count (one row: n_triangles LONG). */
   def countAll(edges: DataFrame): DataFrame = {
     val e = EdgeSource.canonical(edges).persist()

@@ -18,15 +18,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** Tumbling-window counts + sums per event type, watermarked for state
-    * eviction in streaming mode. */
+    * eviction in streaming mode. quantize > 0 switches the value sum to the
+    * engine's fixed-point grid sum (round(v*q) summed as exact LONGs,
+    * divided back once) — addend-order-free, so the driver's DuckDB oracle
+    * compares it value-exactly instead of hoping a double sum lands on the
+    * same side of a rounding boundary. */
   def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours", quantize: Double = 0.0): DataFrame = {
+    val valueSum =
+      if (quantize > 0) (sum(round(col("value") * quantize).cast("long")) / quantize).as("sum_value")
+      else sum(col("value")).as("sum_value")
     events
       .withColumn("ts", col("ts").cast("timestamp")) // parquet NTZ -> event time
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), valueSum)
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+  }
 
   /** Streaming exact dedup by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =

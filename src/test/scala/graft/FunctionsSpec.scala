@@ -72,6 +72,19 @@ class FunctionsSpec extends AnyFunSuite with GraphFixtures {
     assert(got.keySet == Set(1L, 3L, 4L, 5L))
   }
 
+  test("exact dedup: escalation path survives forced h1 collisions (exact result regardless)") {
+    // h1 = constant: EVERY text lands in one bucket; the independent h2
+    // disagrees, so the full-text re-group must reproduce the exact answer
+    val got = Dedup.exactWithHashes(docs(dupCorpus), "doc_id", "text",
+      lit(7L), xxhash64(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // and the production hash pair gives the same answer
+    val prod = Dedup.exact(docs(dupCorpus)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prod == got)
+  }
+
   test("minhash LSH finds exact+near dup pairs and nothing across topics") {
     val got = Dedup.minhashLsh(docs(dupCorpus), "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -149,6 +162,17 @@ class FunctionsSpec extends AnyFunSuite with GraphFixtures {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("literal-plane signature is bit-identical to the expression form") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map(i => i -> Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    val d = vecs(rows)
+    val diff = d.select(
+      Similarity.hyperplaneSignature(col("embedding"), 12, 42L).as("a"),
+      Similarity.hyperplaneSignatureLit(col("embedding"), 12, 16, 42L).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0)
   }
 
   test("embedding near-dup finds planted duplicates via LSH buckets") {

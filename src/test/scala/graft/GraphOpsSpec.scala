@@ -49,6 +49,29 @@ class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
     assert(got == want)
   }
 
+  test("cc: star contraction == min-id propagation on random graphs") {
+    for (seed <- Seq(3, 13, 77)) {
+      val es = randomGraph(40, 30, seed)
+      val vids = (0L until 40L)
+      val a = Components.connectedComponentsStar(edgesDf(es), verticesDf(vids))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Components.connectedComponentsMinId(edgesDf(es), verticesDf(vids))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"seed $seed")
+    }
+  }
+
+  test("cc: star contraction converges in O(log n) rounds on a 10k-vertex path") {
+    val n = 10000
+    val es = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val (df, rounds) = Components.connectedComponentsStarWithRounds(
+      edgesDf(es), verticesDf(0L until n.toLong))
+    val comps = df.select(col("comp")).distinct().collect().map(_.getLong(0))
+    assert(comps.toSeq == Seq(0L))
+    // min-id propagation needs ~n rounds on this graph; contraction is ~log n
+    assert(rounds <= 15, s"star contraction took $rounds rounds on a $n-path")
+  }
+
   // ---- label propagation ---------------------------------------------------
   test("lp: clique converges to min label; deterministic") {
     val es = complete(5) ++ Seq.empty
@@ -111,6 +134,28 @@ class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
       if (und((i, j)) && und((j, k)) && und((i, k))) brute += 1
     assert(got == brute)
     assert(got2 == brute)
+  }
+
+  test("triangles: wedgeCounts — degree order collapses hub wedges that id order pays for") {
+    // hub 25 with 25 in- and 25 out-neighbors: id orientation leaves the hub
+    // with forward AND backward edges (25*25 wedges); degree orientation
+    // points every leaf at the hub (0 wedges)
+    val es = (0L until 25L).map(i => (i, 25L)) ++ (26L until 51L).map(j => (25L, j))
+    val got = Triangles.wedgeCounts(edgesDf(es))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("id_order") == 625L)
+    assert(got("degree_order") == 0L)
+    // and the formula agrees with a brute-force wedge count on a random graph
+    val es2 = randomGraph(20, 60, seed = 8)
+    val canon = es2.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val in = canon.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val out = canon.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ids = canon.flatMap(e => Seq(e._1, e._2)).distinct
+    val brute = ids.map(v => in.getOrElse(v, 0L) * out.getOrElse(v, 0L)).sum
+    val got2 = Triangles.wedgeCounts(edgesDf(es2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2("id_order") == brute)
   }
 
   test("triangles: per-vertex counts on complete(4) are all C(3,2)=3") {

@@ -132,4 +132,16 @@ class PprSpec extends AnyFunSuite with GraphFixtures {
     val b = baskets(MonteCarloPpr.run(es, vs, PprConfig(3, 6, 50)))
     assertAllClose(a, b, 0.0)
   }
+
+  test("mc: walker chunking bounds in-flight rows and is bit-identical to all-at-once") {
+    val es = edgesDf(randomGraph(20, 60, seed = 5)); val vs = verticesDf(0L until 20L)
+    val cfg = PprConfig(4, 8, 40) // effective walks per origin = floor(40*0.85) = 34
+    val (a, sa) = MonteCarloPpr.runWithStats(es, vs, cfg, maxSteps = 24)
+    val (b, sb) = MonteCarloPpr.runWithStats(es, vs, cfg, maxSteps = 24, walkerBudget = 60)
+    assert(sa.chunks == 1 && sa.maxInFlight == sa.unchunkedPeak)
+    assert(sb.chunks > 1, s"budget 60 over ${sb.origins} origins should force chunking")
+    assert(sb.maxInFlight <= 60, s"in-flight ${sb.maxInFlight} exceeds the budget")
+    assert(sb.unchunkedPeak == sb.origins * 34)
+    assertAllClose(baskets(a), baskets(b), 0.0) // every draw keys on the ABSOLUTE walkId
+  }
 }
