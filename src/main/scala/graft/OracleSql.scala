@@ -386,6 +386,72 @@ object OracleSql {
        |QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $k""".stripMargin
   }
 
+  /** Shared CTE prefix of the threshold-0.7 near-dup oracles: the planted
+    * near-duplicate corpus (every document + a copy with an appended tail —
+    * long docs stay above shingle-Jaccard 0.7, short ones drop below, so the
+    * threshold actually separates) and its distinct word-3-shingle sets
+    * (functions/Dedup.tokenShingles over TextAnalysis.tokens). */
+  private def nearDupShingleCtes(tail: String, k: Int): String =
+    s"""d AS MATERIALIZED (
+       |   SELECT doc_id AS id, text FROM documents
+       |   UNION ALL SELECT doc_id + 1000000, text || '$tail' FROM documents),
+       | tk AS MATERIALIZED (SELECT id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM d),
+       | sh AS MATERIALIZED (SELECT id, list_distinct(
+       |   CASE WHEN len(toks) <= $k THEN [array_to_string(toks, ' ')]
+       |        ELSE list_transform(range(0, len(toks) - ${k - 1}), i -> array_to_string(toks[i+1:i+$k], ' ')) END) AS sh
+       |   FROM tk)""".stripMargin
+
+  /** Candidate verification shared by both near-dup oracles: exact distinct
+    * shingle-set Jaccard >= threshold (mirrors Dedup.verifyJaccard:
+    * |intersect| / |union| as one double division of exact ints). */
+  private def jaccardVerify(candCte: String, threshold: Double): String =
+    s""" ji AS MATERIALIZED (SELECT c.id_a, c.id_b,
+       |    len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+       |   FROM $candCte c JOIN sh a ON c.id_a = a.id JOIN sh b ON c.id_b = b.id)
+       |SELECT id_a, id_b, CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) AS jaccard
+       |FROM ji WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= ${dlit(threshold)}""".stripMargin
+
+  /** N-gram Jaccard near-dup at threshold < 1 (functions/Dedup.ngramJaccard
+    * with an unbounded hot-shingle cap, so candidate recall is exactly 1 and
+    * the oracle needs no banding replay — any pair above threshold shares a
+    * shingle). */
+  def ngramNearDup(tail: String, k: Int, threshold: Double): String =
+    s"""WITH ${nearDupShingleCtes(tail, k)},
+       | inv AS MATERIALIZED (SELECT id, unnest(sh) AS s FROM sh),
+       | cand AS MATERIALIZED (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |   FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id),
+       |${jaccardVerify("cand", threshold)}""".stripMargin
+
+  /** MinHash+LSH near-dup at threshold < 1 (functions/Dedup.minhashLshMix):
+    * the FULL approximate pipeline is replayed — per-shingle polynomial char
+    * hash, per-permutation quadratic mixing, banded bucket hashes, bucket
+    * equi-join candidates, exact Jaccard verify — so even banding recall
+    * misses are reproduced bit-exactly. */
+  def minhashNearDup(tail: String, k: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double, salt: Long): String = {
+    val p = graft.kernels.Mix.P
+    val perms = bands * rowsPerBand
+    val permMix = graft.kernels.Mix.sql("h", "p", "0", graft.functions.Dedup.permSalt(salt))
+    val bandMix = graft.kernels.Mix.sql("a", "x", "band", graft.functions.Dedup.bandSalt(salt))
+    s"""WITH ${nearDupShingleCtes(tail, k)},
+       | hs AS MATERIALIZED (SELECT id, list_transform(sh, s ->
+       |     CASE WHEN length(s) = 0 THEN CAST(0 AS BIGINT)
+       |          ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                 list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i:i]) AS BIGINT))),
+       |               (a, c) -> (a * 31 + c) % $p) END) AS hs
+       |   FROM sh),
+       | sg AS MATERIALIZED (SELECT id, list_transform(range(0, $perms), p ->
+       |     coalesce(list_min(list_transform(hs, h -> ($permMix))), $p)) AS sig
+       |   FROM hs),
+       | bnd AS MATERIALIZED (SELECT id, band,
+       |     list_reduce(list_prepend(CAST(0 AS BIGINT), sig[band*$rowsPerBand+1 : band*$rowsPerBand+$rowsPerBand]),
+       |       (a, x) -> ($bandMix)) AS bhash
+       |   FROM (SELECT id, sig, unnest(range(0, $bands)) AS band FROM sg)),
+       | cand AS MATERIALIZED (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |   FROM bnd x JOIN bnd y ON x.band = y.band AND x.bhash = y.bhash AND x.id < y.id),
+       |${jaccardVerify("cand", threshold)}""".stripMargin
+  }
+
   /** findPartitions 2-coloring (operators/Components.twoColoring): color =
     * parity of the shortest undirected distance from the component's
     * minimum-id vertex. Components via the recursive min-propagation CTE;

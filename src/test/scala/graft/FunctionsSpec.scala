@@ -93,6 +93,17 @@ class FunctionsSpec extends AnyFunSuite with GraphFixtures {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L))
   }
 
+  test("mix-hashed minhash LSH separates at threshold 0.7 with the exact verify value") {
+    val longBody = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, longBody), (2L, longBody + " graft near duplicate pad tail"), // 58/63 shared shingles
+      (3L, "tiny doc here"), (4L, "tiny doc here graft near duplicate pad tail")) // 1/6
+    val got = Dedup.minhashLshMix(docs(corpus), "doc_id", "text", threshold = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"got $got")
+    assert(got((1L, 2L)) == 58.0 / 63.0)
+  }
+
   test("ngram jaccard (exact inverted index) agrees on the planted pairs") {
     val got = Dedup.ngramJaccard(docs(dupCorpus), "doc_id", "text", threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
