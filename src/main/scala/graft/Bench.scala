@@ -150,13 +150,22 @@ object Bench {
       // are recorded alongside so the noise context is in the evidence.
       def loadavg(): Double =
         scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      // calm-window gate: don't START a measured leg during an ambient load
+      // burst (r2's 2->8 pair recorded one 2-core leg at 95.9 s vs the
+      // protocol's 34 s because it launched into loadavg 20). Bounded wait —
+      // min-over-repeats remains the backstop if the burst outlasts it.
+      def waitForCalm(): Unit = {
+        val limit = sys.env.getOrElse("SPARK_GRAFT_CALM_LOAD", "6.0").toDouble
+        var waited = 0
+        while (loadavg() > limit && waited < 240) { Thread.sleep(20000); waited += 20 }
+      }
       val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "2").toInt
       var r8s = Vector.empty[Map[String, Double]]
       var r32s = Vector.empty[Map[String, Double]]
       var loads = Vector.empty[Double]
       for (_ <- 1 to repeats) {
-        loads :+= loadavg(); r8s :+= spawn(8, "0-7")
-        loads :+= loadavg(); r32s :+= spawn(32, "0-31")
+        waitForCalm(); loads :+= loadavg(); r8s :+= spawn(8, "0-7")
+        waitForCalm(); loads :+= loadavg(); r32s :+= spawn(32, "0-31")
       }
       val r8 = r8s.minBy(_("min"))
       val r32 = r32s.minBy(_("min"))
@@ -179,11 +188,24 @@ object Bench {
         var r2s = Vector.empty[Map[String, Double]]
         var r8bs = Vector.empty[Map[String, Double]]
         for (_ <- 1 to repeats) {
-          loads :+= loadavg(); r2s :+= spawn(2, "0-1", 4)
-          loads :+= loadavg(); r8bs :+= spawn(8, "0-7", 4)
+          waitForCalm(); loads :+= loadavg(); r2s :+= spawn(2, "0-1", 4)
+          waitForCalm(); loads :+= loadavg(); r8bs :+= spawn(8, "0-7", 4)
+        }
+        def eff28of(): Double =
+          ((nEdges.toDouble / r8bs.map(_("min")).min) / (nEdges.toDouble / r2s.map(_("min")).min)) / 4.0
+        // efficiency > 1 is unphysical for this workload (no cache-capacity
+        // cliff between 2 and 8 cores at this state size): it means the
+        // 2-core leg was noise-inflated despite the calm gate (r2 recorded
+        // 2.1 exactly this way). The min estimator is only valid if at least
+        // one leg ran clean — take up to 2 extra interleaved repeats.
+        var extra = 0
+        while ((eff28of() > 1.02 || eff28of() < 0.5) && extra < 2) {
+          waitForCalm(); loads :+= loadavg(); r2s :+= spawn(2, "0-1", 4)
+          waitForCalm(); loads :+= loadavg(); r8bs :+= spawn(8, "0-7", 4)
+          extra += 1
         }
         val (m2, m8b) = (r2s.map(_("min")).min, r8bs.map(_("min")).min)
-        val eff28 = ((nEdges.toDouble / m8b) / (nEdges.toDouble / m2)) / 4.0
+        val eff28 = eff28of()
         smallJson = s""","primary_pair":"2->8","min_superstep_sec_2_short":$m2,"min_superstep_sec_8_short":$m8b,
                        |"runs_2":${r2s.map(_("min")).mkString("[", ",", "]")},
                        |"runs_8_short":${r8bs.map(_("min")).mkString("[", ",", "]")},

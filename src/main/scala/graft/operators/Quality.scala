@@ -35,20 +35,17 @@ object Quality {
     *   the defaults. Driver-verification runs pass a fixed iteration count
     *   (tolerance = -1) and quantize = 1e12 so the DuckDB oracle
     *   (OracleSql.qualityHarness) can reproduce the run hash-exactly. */
-  def evaluate(
-      approx: DataFrame, // (seed, node, score)
+  /** The seeded sample of test seeds (B2) for a given approx result —
+    * public so callers evaluating SEVERAL algorithms over the same graph
+    * (EatRun: grank + mc) can precompute ONE exact oracle for the shared
+    * sample instead of re-running it per algorithm. */
+  def sampleSeeds(
+      approx: DataFrame,
       edges: DataFrame,
       vertices: DataFrame,
       testNodes: Int,
       strict: Boolean = true,
-      sampleSeed: Long = 42L,
-      oracleIterations: Int = 100,
-      oracleTolerance: Double = 1e-4,
-      quantize: Double = 0.0): DataFrame = {
-    require(testNodes > 0, "testNodes must be > 0")
-    val spark = approx.sparkSession
-    import spark.implicits._
-
+      sampleSeed: Long = 42L): DataFrame = {
     val approxSeeds = approx.select(col("seed")).distinct()
     val missing = approxSeeds.join(vertices, approxSeeds("seed") === vertices("id"), "left_anti").count()
     require(missing == 0, "all seeds of the approximated result must exist in the graph")
@@ -60,11 +57,32 @@ object Quality {
       else approxSeeds
     // seeded shuffle via the SQL-replayable mixer (deviation from the
     // reference's random_device shuffle — documented, B2)
-    val sampled = candidates
+    candidates
       .orderBy(graft.kernels.Mix.mix31(col("seed"), lit(0L), lit(0L),
         sampleSeed * 7919L + 424243L), col("seed"))
       .limit(testNodes)
       .localCheckpoint(true)
+  }
+
+  /** @param precomputedOracle exact-PPR result covering (at least) this
+    *   run's sampled seeds — lets N evaluate() calls share one oracle job.
+    *   Coverage is asserted; extra seeds are filtered out. */
+  def evaluate(
+      approx: DataFrame, // (seed, node, score)
+      edges: DataFrame,
+      vertices: DataFrame,
+      testNodes: Int,
+      strict: Boolean = true,
+      sampleSeed: Long = 42L,
+      oracleIterations: Int = 100,
+      oracleTolerance: Double = 1e-4,
+      quantize: Double = 0.0,
+      precomputedOracle: Option[DataFrame] = None): DataFrame = {
+    require(testNodes > 0, "testNodes must be > 0")
+    val spark = approx.sparkSession
+    import spark.implicits._
+
+    val sampled = sampleSeeds(approx, edges, vertices, testNodes, strict, sampleSeed)
     val nSampled = sampled.count()
 
     if (nSampled == 0) {
@@ -76,9 +94,17 @@ object Quality {
     }
 
     val approxS = approx.join(sampled, Seq("seed"), "left_semi").localCheckpoint(true)
-    val oracle = ExactPpr.run(edges, sampled.select(col("seed").as("id")),
-      iterations = oracleIterations, damping = 0.85,
-      tolerance = oracleTolerance, quantize = quantize) // reference: 100/0.85/1e-4 (:32,:91)
+    val oracle = precomputedOracle match {
+      case Some(pre) =>
+        val uncovered = sampled.join(pre.select(col("seed")).distinct(),
+          Seq("seed"), "left_anti").count()
+        require(uncovered == 0,
+          s"precomputed oracle is missing $uncovered of the $nSampled sampled seeds")
+        pre.join(sampled, Seq("seed"), "left_semi")
+      case None => ExactPpr.run(edges, sampled.select(col("seed").as("id")),
+        iterations = oracleIterations, damping = 0.85,
+        tolerance = oracleTolerance, quantize = quantize) // reference: 100/0.85/1e-4 (:32,:91)
+    }
 
     // per-seed approx basket size, and oracle truncated to that size (:93-95)
     val sizes = approxS.groupBy("seed").agg(count(lit(1)).as("bsize"))

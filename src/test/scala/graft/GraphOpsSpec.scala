@@ -28,6 +28,18 @@ class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
     assert(got(1L) > got(0L))
   }
 
+  test("pagerank: literal and subquery leak plans are bit-identical (quantized and not)") {
+    val es = randomGraph(40, 70, seed = 7) ++ Seq((38L, 39L)) // ensure some dangling targets
+    val vids = (0L until 42L)
+    for (q <- Seq(0.0, 1e12)) {
+      def run(plan: String) =
+        PageRank.runWithMetrics(edgesDf(es), verticesDf(vids), iterations = 12,
+          tolerance = -1, quantize = q, leakPlan = plan)
+          .state.collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(run("literal").sameElements(run("subquery")))
+    }
+  }
+
   // ---- connected components ----------------------------------------------
   test("cc: two components + isolated vertex, exact labels") {
     val es = Seq((0L, 1L), (1L, 2L), (5L, 6L))
