@@ -41,9 +41,12 @@ object McScaleRun {
     val (nE, nV) = (edges.count(), vertices.count())
 
     val t0 = System.nanoTime()
+    // walkMode=join: this runner evidences the WALKER-VOLUME bound of the
+    // 100-TB (non-broadcastable adjacency) path — the local-walk engine
+    // that "auto" would pick here materializes no walker rows at all
     val (res, stats) = MonteCarloPpr.runWithStats(edges, vertices,
       PprConfig(K = 50, L = 200, iterations = r, topLStrategy = "window"),
-      maxSteps = maxSteps, walkerBudget = budget)
+      maxSteps = maxSteps, walkerBudget = budget, walkMode = "join")
     val rows = res.count()
     val total = (System.nanoTime() - t0) / 1e9
     println(s"""MCSCALE {"nodes":$nV,"edges":$nE,"r":$r,"max_steps":$maxSteps,""" +

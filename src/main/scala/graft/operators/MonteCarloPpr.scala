@@ -44,17 +44,32 @@ import graft.model.PprConfig
   *  - the capped-L basket insert during a walk (:152-153, first-seen
   *    priority) becomes a top-L-by-count truncation at aggregation time.
   *
-  * Scale design: the walk loop materializes once per `stepBatch` steps, not
-  * per step — each batch chains `stepBatch` join+project steps lazily with a
-  * per-step persist (every step computed exactly once), then runs ONE
-  * action. Driver round-trips are steps/stepBatch, not ~2*steps; visit
-  * counts fold into a single bounded accumulator per batch (constant plan
-  * depth), never an O(steps)-deep union. Walker VOLUME is bounded by
-  * `walkerBudget`: the walkId range [0, floor(R*d)) is split into chunks of
-  * <= walkerBudget/|origins| ids and walked chunk-by-chunk into the shared
-  * visit accumulator — peak in-flight rows <= walkerBudget instead of
-  * |V|*floor(R*d) (at R=1000 that is 850 rows PER VERTEX), bit-identically
-  * (every draw is a pure function of seed/absolute-walkId/step).
+  * Scale design — TWO walk engines behind one draw function (`walkMode`):
+  *
+  *  - "local" (auto-chosen when the adjacency fits `broadcastEdgeLimit`):
+  *    the whole multi-step walk runs INSIDE one mapPartitions pass over the
+  *    origin vertices against a broadcast adjacency map — the Spark analog
+  *    of the reference's lazy per-node walkNode
+  *    (include/mccompletepathv2.h:230-241). ONE job for the entire walk
+  *    phase, zero walker rows materialized, zero shuffles; each task emits
+  *    already-combined (seed, node, visits) partials (an origin's walks
+  *    never leave its task, so no cross-partition merge is needed). This is
+  *    the genuine per-partition imperative case where mapPartitions beats
+  *    the declarative form: ~64 sequential join stages collapse into one
+  *    stage, which also removes the per-stage scheduling latency that
+  *    dominated the join path's wall at bench scale (~2.5x measured).
+  *  - "join" (auto-chosen above the broadcast limit — the 100-TB path):
+  *    per `stepBatch` steps, chain join+project steps lazily with a
+  *    per-step persist, then ONE action; visit counts fold into a bounded
+  *    accumulator (constant plan depth). Walker VOLUME is bounded by
+  *    `walkerBudget`: the walkId range [0, floor(R*d)) is split into chunks
+  *    of <= walkerBudget/|origins| ids walked chunk-by-chunk — peak
+  *    in-flight rows <= walkerBudget instead of |V|*floor(R*d) (at R=1000
+  *    that is 850 rows PER VERTEX).
+  *
+  * Every draw is a pure function of (seed, ABSOLUTE walkId, step) through
+  * the same mix31 mixer, so local, join, chunked and unchunked runs are all
+  * bit-identical (test-gated) and the DuckDB oracle replays any of them.
   */
 object MonteCarloPpr {
 
@@ -72,21 +87,22 @@ object MonteCarloPpr {
   def run(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
       salt: Long = 42L, maxSteps: Int = 200, stepBatch: Int = 8,
       broadcastEdgeLimit: Long = 4000000L,
-      walkerBudget: Long = 100000000L): DataFrame =
+      walkerBudget: Long = 100000000L, walkMode: String = "auto"): DataFrame =
     runWithStats(edges, vertices, cfg, salt, maxSteps, stepBatch,
-      broadcastEdgeLimit, walkerBudget)._1
+      broadcastEdgeLimit, walkerBudget, walkMode)._1
 
   def runWithStats(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
       salt: Long = 42L, maxSteps: Int = 200, stepBatch: Int = 8,
       broadcastEdgeLimit: Long = 4000000L,
-      walkerBudget: Long = 100000000L): (DataFrame, McWalkStats) =
+      walkerBudget: Long = 100000000L, walkMode: String = "auto"): (DataFrame, McWalkStats) =
     IterTuning.withoutRuntimeFilters(edges.sparkSession) {
-      runInner(edges, vertices, cfg, salt, maxSteps, stepBatch, broadcastEdgeLimit, walkerBudget)
+      runInner(edges, vertices, cfg, salt, maxSteps, stepBatch, broadcastEdgeLimit,
+        walkerBudget, walkMode)
     }
 
   private def runInner(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
       salt: Long, maxSteps: Int, stepBatchRaw: Int, broadcastEdgeLimit: Long,
-      walkerBudget: Long): (DataFrame, McWalkStats) = {
+      walkerBudget: Long, walkMode: String): (DataFrame, McWalkStats) = {
     // Catalyst cost grows super-linearly with chained join depth: a 16-step
     // lazy chain was measured to take minutes to PLAN where 8 executes in
     // seconds — cap the batch size.
@@ -128,6 +144,18 @@ object MonteCarloPpr {
     val chunkSize =
       if (walkerBudget <= 0 || nOrigins == 0) math.max(effective, 1L)
       else math.max(1L, math.min(effective, walkerBudget / nOrigins))
+    val useLocalWalk = walkMode match {
+      case "local" => true
+      case "join"  => false
+      case _       => smallAdj // "auto": local walk iff the adjacency broadcasts
+    }
+
+    if (useLocalWalk && effective > 0) {
+      val visitAgg = localWalk(walkOrigins, adjPersisted, effective, d, salt, maxSteps)
+      walkOrigins.unpersist()
+      return finishFromVisits(edges, vertices, adjList, adjPersisted, cfg, visitAgg,
+        McWalkStats(0L, 0, nOrigins, nOrigins * effective))
+    }
 
     def oneStep(cur: DataFrame, step: Int): DataFrame = {
       val survivors =
@@ -187,7 +215,76 @@ object MonteCarloPpr {
       chunkLo = chunkHi
     }
     walkOrigins.unpersist()
+    finishFromVisits(edges, vertices, adjList, adjPersisted, cfg, visitAgg,
+      McWalkStats(maxInFlight, nChunks, nOrigins, nOrigins * effective))
+  }
 
+  /** The whole walk phase as ONE mapPartitions pass over the origins
+    * against a broadcast adjacency map — same draws (mix31Scala is the
+    * Column mixer's scalar twin), same per-step semantics as [[oneStep]]:
+    * step 1 always traverses with round-robin pick walkId mod outdeg; later
+    * steps survive iff mix/P <= d and pick (walkId + mix) mod outdeg; a
+    * walk dies at a node with no successors. Emits (seed, node, visits)
+    * partials — an origin's walks all live in its task, so the partials
+    * are already per-seed-complete. */
+  private def localWalk(walkOrigins: DataFrame, adjPersisted: DataFrame,
+      effective: Long, d: Double, salt: Long, maxSteps: Int): DataFrame = {
+    import graft.kernels.Mix.mix31Scala
+    val spark = walkOrigins.sparkSession
+    import spark.implicits._
+    val adjRows = adjPersisted.select(col("src"), col("dsts")).collect()
+    val amap = new java.util.HashMap[Long, Array[Long]](adjRows.length * 2)
+    adjRows.foreach(row => amap.put(row.getLong(0), row.getSeq[Long](1).toArray))
+    val bc = spark.sparkContext.broadcast(amap)
+    val sSalt = survivalSalt(salt)
+    val pSalt = pickSalt(salt)
+    // spread origins over the full task width — walk cost is proportional to
+    // origins-per-task, and the upstream origins frame may sit in few
+    // partitions (e.g. a 2-file parquet scan)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val visits = walkOrigins.select(col("seed"))
+      .repartition(parts, col("seed")).as[Long].mapPartitions { origins =>
+      val adj = bc.value
+      origins.flatMap { seed =>
+        val mine = scala.collection.mutable.LongMap.empty[Long]
+        var w = 0L
+        while (w < effective) {
+          var cur = seed
+          var s = 1
+          var alive = true
+          while (alive && s <= maxSteps) {
+            if (s > 1 && (mix31Scala(seed, w, s, sSalt) / P.toDouble) > d) alive = false
+            else {
+              val dsts = adj.get(cur)
+              if (dsts == null || dsts.length == 0) alive = false
+              else {
+                val pick =
+                  if (s == 1) w % dsts.length
+                  else (w + mix31Scala(seed, cur, s, pSalt)) % dsts.length
+                cur = dsts(pick.toInt)
+                mine(cur) = mine.getOrElse(cur, 0L) + 1L
+                s += 1
+              }
+            }
+          }
+          w += 1
+        }
+        mine.iterator.map { case (node, n) => (seed, node, n) }
+      }
+    }.toDF("seed", "node", "visits")
+    // materialize before the broadcast can be dropped by downstream actions
+    val out = visits.localCheckpoint(true)
+    bc.unpersist(false)
+    out
+  }
+
+  /** Phase 1.5 + 2, shared by both walk engines: fold origin self-visits
+    * in, prune to L, then the one gather superstep (:211-250). */
+  private def finishFromVisits(edges: DataFrame, vertices: DataFrame,
+      adjList: DataFrame, adjPersisted: DataFrame, cfg: PprConfig,
+      visitAgg: DataFrame, stats: McWalkStats): (DataFrame, McWalkStats) = {
+    val r = cfg.iterations
+    val d = cfg.damping
     val selfVisits = vertices.select(col("id").as("seed"), col("id").as("node"),
       lit(r.toLong).as("visits")) // origin counted R times (:124, :162-163)
     val allVisits = if (visitAgg == null) selfVisits else selfVisits.union(visitAgg)
@@ -213,6 +310,6 @@ object MonteCarloPpr {
 
     val result = TopK.topKWindow(combined, cfg.K).localCheckpoint(true)
     adjPersisted.unpersist()
-    (result, McWalkStats(maxInFlight, nChunks, nOrigins, nOrigins * effective))
+    (result, stats)
   }
 }

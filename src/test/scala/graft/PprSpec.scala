@@ -136,12 +136,31 @@ class PprSpec extends AnyFunSuite with GraphFixtures {
   test("mc: walker chunking bounds in-flight rows and is bit-identical to all-at-once") {
     val es = edgesDf(randomGraph(20, 60, seed = 5)); val vs = verticesDf(0L until 20L)
     val cfg = PprConfig(4, 8, 40) // effective walks per origin = floor(40*0.85) = 34
-    val (a, sa) = MonteCarloPpr.runWithStats(es, vs, cfg, maxSteps = 24)
-    val (b, sb) = MonteCarloPpr.runWithStats(es, vs, cfg, maxSteps = 24, walkerBudget = 60)
+    val (a, sa) = MonteCarloPpr.runWithStats(es, vs, cfg, maxSteps = 24, walkMode = "join")
+    val (b, sb) = MonteCarloPpr.runWithStats(es, vs, cfg, maxSteps = 24, walkerBudget = 60,
+      walkMode = "join")
     assert(sa.chunks == 1 && sa.maxInFlight == sa.unchunkedPeak)
     assert(sb.chunks > 1, s"budget 60 over ${sb.origins} origins should force chunking")
     assert(sb.maxInFlight <= 60, s"in-flight ${sb.maxInFlight} exceeds the budget")
     assert(sb.unchunkedPeak == sb.origins * 34)
     assertAllClose(baskets(a), baskets(b), 0.0) // every draw keys on the ABSOLUTE walkId
+  }
+
+  test("mc: local-walk engine is bit-identical to the join engine (and is the auto choice)") {
+    // several shapes: random digraph (some dangling), star out, cycle
+    for ((es, n) <- Seq((randomGraph(24, 70, seed = 11), 24L),
+        (starOut(6), 7L), (cycle(9).toSeq, 9L))) {
+      val (vs, ed) = (verticesDf(0L until n), edgesDf(es))
+      // quantize: phase-2 re-aggregates successor contributions with a
+      // DOUBLE sum, whose addend order differs with the walk engine's
+      // output partitioning — the fixed-point grid makes the compare
+      // order-free, so any single-visit difference (>= 1/R) still trips it
+      val cfg = PprConfig(5, 9, 40, topLStrategy = "window", quantize = 1e12)
+      val local = MonteCarloPpr.runWithStats(ed, vs, cfg, maxSteps = 24, walkMode = "local")._1
+      val join = MonteCarloPpr.runWithStats(ed, vs, cfg, maxSteps = 24, walkMode = "join")._1
+      assertAllClose(baskets(local), baskets(join), 0.0)
+      val (_, sAuto) = MonteCarloPpr.runWithStats(ed, vs, cfg, maxSteps = 24)
+      assert(sAuto.maxInFlight == 0L, "auto on a broadcastable graph must take the local engine")
+    }
   }
 }
