@@ -130,12 +130,18 @@ object Bench {
           else Seq.empty
         val cmd = taskset ++ Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.ScalingRun",
           cores.toString, graphDir, topLStrategy, salt.toString, shuffleParts.toString, itersN.toString)
-        val pb = new ProcessBuilder(cmd: _*)
-        pb.redirectError(ProcessBuilder.Redirect.INHERIT) // spark logs -> stderr, keep pipe drained
-        val proc = pb.start()
-        val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
-        proc.waitFor()
-        val line = out.find(_.startsWith("SCALING ")).getOrElse(sys.error("no SCALING line: " + out.takeRight(5)))
+        def once(): Option[String] = {
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT) // spark logs -> stderr, keep pipe drained
+          val proc = pb.start()
+          val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+          proc.waitFor()
+          out.find(_.startsWith("SCALING "))
+        }
+        // one retry: a transiently failed child (OOM-killed under a co-tenant
+        // burst, truncated pipe) must not abort the whole unattended bench
+        val line = once().orElse(once())
+          .getOrElse(sys.error(s"no SCALING line from $cores-core leg after retry"))
         val json = line.stripPrefix("SCALING ")
         def field(k: String): Double =
           ("\"" + k + "\":([0-9.Ee+-]+)").r.findFirstMatchIn(json).map(_.group(1).toDouble)
@@ -152,12 +158,17 @@ object Bench {
         scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       // calm-window gate: don't START a measured leg during an ambient load
       // burst (r2's 2->8 pair recorded one 2-core leg at 95.9 s vs the
-      // protocol's 34 s because it launched into loadavg 20). Bounded wait —
+      // protocol's 34 s because it launched into loadavg 20). Bounded wait
+      // per leg AND a global budget across the whole run (an unattended
+      // driver bench must not stall through a long burst) —
       // min-over-repeats remains the backstop if the burst outlasts it.
+      var calmBudget = sys.env.getOrElse("SPARK_GRAFT_CALM_BUDGET", "480").toInt
       def waitForCalm(): Unit = {
         val limit = sys.env.getOrElse("SPARK_GRAFT_CALM_LOAD", "6.0").toDouble
         var waited = 0
-        while (loadavg() > limit && waited < 240) { Thread.sleep(20000); waited += 20 }
+        while (loadavg() > limit && waited < 240 && calmBudget > 0) {
+          Thread.sleep(20000); waited += 20; calmBudget -= 20
+        }
       }
       val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "2").toInt
       var r8s = Vector.empty[Map[String, Double]]

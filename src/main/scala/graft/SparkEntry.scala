@@ -109,6 +109,15 @@ object SparkEntry {
       MonteCarloPpr.run(e, v, PprConfig(K = 10, L = 20, iterations = 30,
         topLStrategy = "window", quantize = 1e12), maxSteps = 64)
     }),
+    // the non-broadcastable-adjacency (100-TB) walk engine, pinned — auto
+    // picks the local engine at driver scales, so without this row the
+    // chunked join path would only be ScalaTest-gated; same oracle (the
+    // walk replay is engine-agnostic)
+    "q_mc_ppr_join" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      MonteCarloPpr.run(e, v, PprConfig(K = 10, L = 20, iterations = 30,
+        topLStrategy = "window", quantize = 1e12), maxSteps = 64, walkMode = "join")
+    }),
     "q_pagerank" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
       PageRank.run(e, v, iterations = 40, tolerance = -1, quantize = 1e12)
@@ -324,6 +333,7 @@ object SparkEntry {
     "q_grank" -> OracleSql.grank(k = 10, l = 20, iterations = 6, damping = 0.85),
     "q_pagerank" -> OracleSql.pageRank(iterations = 40, damping = 0.85),
     "q_mc_ppr" -> OracleSql.mcPpr(k = 10, l = 20, r = 30, damping = 0.85, salt = 42L, maxSteps = 64),
+    "q_mc_ppr_join" -> OracleSql.mcPpr(k = 10, l = 20, r = 30, damping = 0.85, salt = 42L, maxSteps = 64),
     "q_label_propagation" -> OracleSql.labelPropagation(rounds = 4),
     "q_quality_harness" -> OracleSql.qualityHarness(k = 10, l = 20, grankIterations = 8,
       oracleIterations = 20, testNodes = 20, damping = 0.85, sampleSeed = 42L),

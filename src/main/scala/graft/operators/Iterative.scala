@@ -79,8 +79,9 @@ object IterativeEngine {
 
   /** Drop the cached blocks behind a localCheckpoint'ed frame (safe only
     * once nothing will read it again — checkpointed lineage can NOT be
-    * recomputed). */
-  private def freeCheckpointBlocks(df: DataFrame): Unit =
+    * recomputed). Shared with the MC walk loop, whose per-batch
+    * accumulator re-checkpoints have the same stale-block-set hazard. */
+  private[operators] def freeCheckpointBlocks(df: DataFrame): Unit =
     try {
       df.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)

@@ -194,6 +194,7 @@ object MonteCarloPpr {
       while (alive > 0 && step <= maxSteps) {
         val end = math.min(step + stepBatch - 1, maxSteps)
         var stepFrames = List.empty[DataFrame]
+        val prevWalkers = walkers
         var cur = walkers
         var s = step
         while (s <= end) {
@@ -206,12 +207,21 @@ object MonteCarloPpr {
         val batchVisits = stepFrames
           .map(_.groupBy(col("seed"), col("cur").as("node")).agg(count(lit(1)).as("visits")))
           .reduce(_ union _)
+        val prevAgg = visitAgg
         visitAgg = (if (visitAgg == null) batchVisits else visitAgg.union(batchVisits))
           .groupBy(col("seed"), col("node")).agg(sum(col("visits")).as("visits"))
           .localCheckpoint(true) // reads the cached step frames; bounded depth
+        // free the superseded checkpoint block sets NOW (nothing reads them
+        // again): without this, R=1000 runs accumulate one stale walker
+        // frame + one stale accumulator PER BATCH until execution memory
+        // exhausts (measured: SparkOutOfMemoryError ~27 batches into the
+        // 300k-origin R=1000 McScaleRun)
         stepFrames.foreach(_.unpersist(false))
+        IterativeEngine.freeCheckpointBlocks(prevWalkers)
+        if (prevAgg != null) IterativeEngine.freeCheckpointBlocks(prevAgg)
         step = end + 1
       }
+      IterativeEngine.freeCheckpointBlocks(walkers) // chunk done: all dead
       chunkLo = chunkHi
     }
     walkOrigins.unpersist()
