@@ -174,10 +174,17 @@ object MonteCarloPpr {
 
     // Per batch: chain `stepBatch` steps lazily with a per-step persist;
     // the batch-end checkpoint materializes every step once (the persists
-    // keep the chain from recomputing), then visit counts fold into one
-    // bounded accumulator. ~3 jobs per `stepBatch` steps instead of ~2 per
-    // step — driver round-trips were the round-1 MC bottleneck.
-    var visitAgg: DataFrame = null // (seed, node, visits) — bounded accumulator
+    // keep the chain from recomputing), then visit counts PARTIAL-aggregate
+    // within the batch. Batch partials merge ONCE per chunk, chunk partials
+    // union once at the end (finishFromVisits runs the final (seed,node)
+    // sum) — total shuffle volume ~2x the visit count. The r2 design
+    // instead re-shuffled a single ever-growing accumulator every batch:
+    // at R=1000 x 300k origins that is ~27 re-shuffles of an up-to-600M-row
+    // frame, and the un-freed superseded checkpoints exhausted execution
+    // memory (measured SparkOutOfMemoryError). Superseded block sets are
+    // freed as soon as their successor materializes; live frames are
+    // bounded by batches-per-chunk + chunks.
+    var chunkAggs = List.empty[DataFrame] // one (seed, node, visits) partial per chunk
     var maxInFlight = 0L
     var nChunks = 0
     var chunkLo = 0L
@@ -191,6 +198,7 @@ object MonteCarloPpr {
       var step = 1
       var alive = walkers.count()
       maxInFlight = math.max(maxInFlight, alive)
+      var batchAggs = List.empty[DataFrame]
       while (alive > 0 && step <= maxSteps) {
         val end = math.min(step + stepBatch - 1, maxSteps)
         var stepFrames = List.empty[DataFrame]
@@ -207,24 +215,35 @@ object MonteCarloPpr {
         val batchVisits = stepFrames
           .map(_.groupBy(col("seed"), col("cur").as("node")).agg(count(lit(1)).as("visits")))
           .reduce(_ union _)
-        val prevAgg = visitAgg
-        visitAgg = (if (visitAgg == null) batchVisits else visitAgg.union(batchVisits))
           .groupBy(col("seed"), col("node")).agg(sum(col("visits")).as("visits"))
           .localCheckpoint(true) // reads the cached step frames; bounded depth
-        // free the superseded checkpoint block sets NOW (nothing reads them
-        // again): without this, R=1000 runs accumulate one stale walker
-        // frame + one stale accumulator PER BATCH until execution memory
-        // exhausts (measured: SparkOutOfMemoryError ~27 batches into the
-        // 300k-origin R=1000 McScaleRun)
+        batchAggs ::= batchVisits
         stepFrames.foreach(_.unpersist(false))
         IterativeEngine.freeCheckpointBlocks(prevWalkers)
-        if (prevAgg != null) IterativeEngine.freeCheckpointBlocks(prevAgg)
         step = end + 1
       }
       IterativeEngine.freeCheckpointBlocks(walkers) // chunk done: all dead
+      val chunkAgg = batchAggs match {
+        case Nil         => null
+        case one :: Nil  => one
+        case many => // merge the <= ceil(maxSteps/stepBatch) batch partials once
+          val merged = many.reduce(_ union _)
+            .groupBy(col("seed"), col("node")).agg(sum(col("visits")).as("visits"))
+            .localCheckpoint(true)
+          many.foreach(IterativeEngine.freeCheckpointBlocks)
+          merged
+      }
+      if (chunkAgg != null) chunkAggs ::= chunkAgg
       chunkLo = chunkHi
     }
     walkOrigins.unpersist()
+    // raw union of chunk partials — the final (seed,node) sum happens in
+    // finishFromVisits together with the origin self-visits
+    val visitAgg = chunkAggs match {
+      case Nil        => null
+      case one :: Nil => one
+      case many       => many.reduce(_ union _)
+    }
     finishFromVisits(edges, vertices, adjList, adjPersisted, cfg, visitAgg,
       McWalkStats(maxInFlight, nChunks, nOrigins, nOrigins * effective))
   }

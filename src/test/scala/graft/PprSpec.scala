@@ -135,7 +135,10 @@ class PprSpec extends AnyFunSuite with GraphFixtures {
 
   test("mc: walker chunking bounds in-flight rows and is bit-identical to all-at-once") {
     val es = edgesDf(randomGraph(20, 60, seed = 5)); val vs = verticesDf(0L until 20L)
-    val cfg = PprConfig(4, 8, 40) // effective walks per origin = floor(40*0.85) = 34
+    // quantize: chunking changes downstream double-sum addend order (same
+    // exact LONG visits); the fixed-point grid keeps the tol-0.0 compare
+    // meaningful — any single-visit difference (>= 1/R) still trips it
+    val cfg = PprConfig(4, 8, 40, topLStrategy = "window", quantize = 1e12) // effective walks = floor(40*0.85) = 34
     val (a, sa) = MonteCarloPpr.runWithStats(es, vs, cfg, maxSteps = 24, walkMode = "join")
     val (b, sb) = MonteCarloPpr.runWithStats(es, vs, cfg, maxSteps = 24, walkerBudget = 60,
       walkMode = "join")
