@@ -22,11 +22,15 @@ object McScaleRun {
     val r = sys.env.getOrElse("SPARK_GRAFT_MC_R", "1000").toInt
     val maxSteps = sys.env.getOrElse("SPARK_GRAFT_MC_STEPS", "64").toInt
     val budget = sys.env.getOrElse("SPARK_GRAFT_MC_BUDGET", "32000000").toLong
-    new java.io.File("/dev/shm/graft-spark").mkdirs()
+    // default to REAL disk, not tmpfs: this run spills tens of GB of step
+    // frames + chunk partials, and tmpfs spill competes with the heap for
+    // the same physical RAM (an 80g-heap run was OOM-killed exactly so)
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp/graft-spark-mcscale")
+    new java.io.File(localDir).mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-mc-scale")
-      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -41,12 +45,15 @@ object McScaleRun {
     val (nE, nV) = (edges.count(), vertices.count())
 
     val t0 = System.nanoTime()
-    // walkMode=join: this runner evidences the WALKER-VOLUME bound of the
-    // 100-TB (non-broadcastable adjacency) path — the local-walk engine
-    // that "auto" would pick here materializes no walker rows at all
+    // walkMode=join (default): this runner evidences the WALKER-VOLUME
+    // bound of the 100-TB (non-broadcastable adjacency) path — the
+    // local-walk engine that "auto" would pick here materializes no walker
+    // rows at all. SPARK_GRAFT_MC_WALKMODE=local records the same config on
+    // the local engine for comparison.
+    val walkMode = sys.env.getOrElse("SPARK_GRAFT_MC_WALKMODE", "join")
     val (res, stats) = MonteCarloPpr.runWithStats(edges, vertices,
       PprConfig(K = 50, L = 200, iterations = r, topLStrategy = "window"),
-      maxSteps = maxSteps, walkerBudget = budget, walkMode = "join")
+      maxSteps = maxSteps, walkerBudget = budget, walkMode = walkMode)
     val rows = res.count()
     val total = (System.nanoTime() - t0) / 1e9
     println(s"""MCSCALE {"nodes":$nV,"edges":$nE,"r":$r,"max_steps":$maxSteps,""" +
