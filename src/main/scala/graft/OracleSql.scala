@@ -391,10 +391,10 @@ object OracleSql {
     * long docs stay above shingle-Jaccard 0.7, short ones drop below, so the
     * threshold actually separates) and its distinct word-3-shingle sets
     * (functions/Dedup.tokenShingles over TextAnalysis.tokens). */
-  private def nearDupShingleCtes(tail: String, k: Int): String =
+  private def nearDupShingleCtes(tail: String, k: Int, extraDocsSql: String = ""): String =
     s"""d AS MATERIALIZED (
        |   SELECT doc_id AS id, text FROM documents
-       |   UNION ALL SELECT doc_id + 1000000, text || '$tail' FROM documents),
+       |   UNION ALL SELECT doc_id + 1000000, text || '$tail' FROM documents$extraDocsSql),
        | tk AS MATERIALIZED (SELECT id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM d),
        | sh AS MATERIALIZED (SELECT id, list_distinct(
        |   CASE WHEN len(toks) <= $k THEN [array_to_string(toks, ' ')]
@@ -421,6 +421,28 @@ object OracleSql {
        | cand AS MATERIALIZED (SELECT DISTINCT x.id AS id_a, y.id AS id_b
        |   FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id),
        |${jaccardVerify("cand", threshold)}""".stripMargin
+
+  /** N-gram Jaccard near-dup with a FINITE hot-shingle cap — the actual
+    * 100-TB configuration of functions/Dedup.ngramJaccard (the inverted
+    * index drops shingles whose document frequency exceeds `cap` from
+    * candidate generation; they still count in verification). The corpus
+    * adds `hotN` identical flood documents whose only shingles are hot, so
+    * the cap MEASURABLY changes the output (uncapped they'd contribute
+    * hotN*(hotN-1)/2 jaccard-1.0 pairs; capped they contribute none), and
+    * the oracle replays the df-filter in SQL rather than assuming recall 1. */
+  def ngramNearDupCapped(tail: String, k: Int, threshold: Double, cap: Int,
+      hotText: String, hotN: Int): String = {
+    val extra =
+      s"""
+         |   UNION ALL SELECT 2000000 + i, '$hotText' FROM range(0, $hotN) t(i)""".stripMargin
+    s"""WITH ${nearDupShingleCtes(tail, k, extra)},
+       | inv AS MATERIALIZED (SELECT id, unnest(sh) AS s FROM sh),
+       | rare AS MATERIALIZED (SELECT s FROM inv GROUP BY s HAVING count(*) <= $cap),
+       | invr AS MATERIALIZED (SELECT inv.id, inv.s FROM inv JOIN rare USING (s)),
+       | cand AS MATERIALIZED (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |   FROM invr x JOIN invr y ON x.s = y.s AND x.id < y.id),
+       |${jaccardVerify("cand", threshold)}""".stripMargin
+  }
 
   /** MinHash+LSH near-dup at threshold < 1 (functions/Dedup.minhashLshMix):
     * the FULL approximate pipeline is replayed — per-shingle polynomial char
@@ -450,6 +472,24 @@ object OracleSql {
        | cand AS MATERIALIZED (SELECT DISTINCT x.id AS id_a, y.id AS id_b
        |   FROM bnd x JOIN bnd y ON x.band = y.band AND x.bhash = y.bhash AND x.id < y.id),
        |${jaccardVerify("cand", threshold)}""".stripMargin
+  }
+
+  /** Vertex-id collision audit (sources/WebCorpus.idCollisionAudit) under a
+    * deliberately weak SQL-replayable id — polynomial char hash mod
+    * `modulus` — over urls derived from doc ids, so the DETECTION path is
+    * what the driver verifies (ids with > 1 distinct url, their url count,
+    * and the min-url witness). */
+  def idCollisionAudit(modulus: Int): String = {
+    val p = graft.kernels.Mix.P
+    s"""WITH u AS MATERIALIZED (
+       |   SELECT DISTINCT 'https://docs.example/' || doc_id AS url FROM documents),
+       | h AS MATERIALIZED (SELECT url,
+       |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(range(1, length(url) + 1), i -> CAST(ascii(url[i:i]) AS BIGINT))),
+       |     (a, c) -> (a * 31 + c) % $p) % $modulus AS id
+       |   FROM u)
+       |SELECT id, count(*) AS n_urls, min(url) AS first_url
+       |FROM h GROUP BY id HAVING count(*) > 1""".stripMargin
   }
 
   /** findPartitions 2-coloring (operators/Components.twoColoring): color =

@@ -103,6 +103,8 @@ object MonteCarloPpr {
   private def runInner(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
       salt: Long, maxSteps: Int, stepBatchRaw: Int, broadcastEdgeLimit: Long,
       walkerBudget: Long, walkMode: String): (DataFrame, McWalkStats) = {
+    require(Set("auto", "local", "join")(walkMode),
+      s"walkMode must be auto|local|join, got '$walkMode'")
     // Catalyst cost grows super-linearly with chained join depth: a 16-step
     // lazy chain was measured to take minutes to PLAN where 8 executes in
     // seconds — cap the batch size.
@@ -145,7 +147,14 @@ object MonteCarloPpr {
       if (walkerBudget <= 0 || nOrigins == 0) math.max(effective, 1L)
       else math.max(1L, math.min(effective, walkerBudget / nOrigins))
     val useLocalWalk = walkMode match {
-      case "local" => true
+      case "local" =>
+        // forced local collects the whole adjacency to the driver — refuse
+        // above the broadcast limit rather than risk a driver OOM ("auto"
+        // already falls back to the join engine there)
+        require(smallAdj, s"walkMode=local forced but the adjacency " +
+          s"(> $broadcastEdgeLimit edges) exceeds broadcastEdgeLimit; " +
+          "use walkMode=auto or join")
+        true
       case "join"  => false
       case _       => smallAdj // "auto": local walk iff the adjacency broadcasts
     }
@@ -323,6 +332,11 @@ object MonteCarloPpr {
       allVisits.groupBy(col("seed"), col("node"))
         .agg((sum(col("visits")) / lit(r.toDouble)).as("score")),
       cfg.L, "bounded").localCheckpoint(true)
+    // walkBaskets is materialized: every chunk/batch partial reachable from
+    // visitAgg is now superseded — free the blocks instead of waiting for
+    // the ContextCleaner (the same pileup class the per-batch fix removed;
+    // a many-chunk budget-bound run otherwise keeps nChunks frames cached)
+    if (visitAgg != null) IterativeEngine.freeCheckpointBlocks(visitAgg)
 
     // ---- phase 2: one gather superstep over walk baskets (:211-250) -----
     val factor = vertices.join(adjList, vertices("id") === adjList("src"), "left")
@@ -338,6 +352,7 @@ object MonteCarloPpr {
       .select(col("seed"), col("node"), (col("score") * col("factor")).as("score"))
 
     val result = TopK.topKWindow(combined, cfg.K).localCheckpoint(true)
+    IterativeEngine.freeCheckpointBlocks(walkBaskets) // result materialized
     adjPersisted.unpersist()
     (result, stats)
   }

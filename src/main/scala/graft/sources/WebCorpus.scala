@@ -99,6 +99,22 @@ object WebCorpus {
   def dictionary(pages: DataFrame): DataFrame =
     pages.select(col("url"), urlId(col("url")).as("id")).distinct()
 
+  /** The dictionary-based vertex-id collision audit the class doc marks as
+    * REQUIRED above ~10^8 urls: every id claimed by MORE than one distinct
+    * url, with the colliding-url count and the minimum url as a
+    * deterministic witness. Empty result = hashed ids are exact for this
+    * corpus. Scale shape: one distinct + one 8-byte-key groupBy over the
+    * url set — the same cost class as building [[dictionary]]; a collided
+    * id is surfaced, never silently merged. `idOf` is injectable so tests
+    * (and the driver oracle) can force collisions with a weak hash. */
+  def idCollisionAudit(urls: DataFrame,
+      idOf: Column => Column = urlId): DataFrame =
+    urls.select(col("url")).distinct()
+      .select(col("url"), idOf(col("url")).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_urls"), min(col("url")).as("first_url"))
+      .where(col("n_urls") > 1)
+
   /** Edge table from a page corpus: explode extracted links, hash both
     * endpoints, dedup (reference import drops duplicate edges,
     * src/main.cc:102-106). */

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -34,6 +35,32 @@ object EventStream {
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), valueSum)
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  private val sinkSeq = new AtomicInteger(0)
+
+  /** Execute the streaming [[windowedAgg]] over a finite file source to
+    * completion and hand back the result as a batch DataFrame: stage the
+    * events parquet into a fresh source directory, run the SAME transform
+    * behind `readStream` (complete-mode memory sink, drained with
+    * `processAllAvailable`), and return the sink table. This is the
+    * driver-oracle entry point for streaming mode — the plan genuinely
+    * executes through the streaming engine (file source, StateStore-backed
+    * aggregation), and the result shape matches the batch windowedAgg, so
+    * the same DuckDB oracle checks both. */
+  def windowedAggStreamOnce(spark: SparkSession, eventsParquet: String,
+      windowLen: String = "1 hour", watermark: String = "2 hours",
+      quantize: Double = 0.0): DataFrame = {
+    val schema = spark.read.parquet(eventsParquet).schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream").toString
+    spark.read.parquet(eventsParquet).write.mode("overwrite").parquet(dir)
+    val stream = windowedAgg(spark.readStream.schema(schema).parquet(dir),
+      windowLen, watermark, quantize)
+    val name = s"graft_win_agg_stream_${sinkSeq.incrementAndGet()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
   }
 
   /** Streaming exact dedup by event_id within the watermark horizon. */

@@ -112,6 +112,23 @@ class FunctionsSpec extends AnyFunSuite with GraphFixtures {
     assert(!got.keySet.exists(p => p._1 >= 4L))
   }
 
+  test("ngram jaccard hot-shingle cap: flood pairs vanish when capped, rare pairs unchanged") {
+    // 12 identical flood docs share ONLY hot shingles (df = 12); the rare
+    // pair (1, 2) shares doc-specific shingles (df = 2)
+    val flood = (100L until 112L).map(i => (i, "zq hot flood alpha beta"))
+    val corpus = docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight")) ++ flood)
+    def pairs(cap: Int) =
+      Dedup.ngramJaccard(corpus, "doc_id", "text", threshold = 0.7, maxShingleFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.count(p => p._1 >= 100L) == 12 * 11 / 2) // flood all-pairs
+    val capped = pairs(10) // cap < flood df, >= rare df
+    assert(capped == Set((1L, 2L)), s"got $capped") // flood dropped, rare kept
+  }
+
   test("simhash near-dup: identical -> hamming 0; near -> small; cross-topic absent") {
     // simhash needs token mass: short texts flip many bits on one edit, so
     // the near-dup fixture repeats its body (realistic doc length)

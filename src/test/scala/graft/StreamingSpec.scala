@@ -38,6 +38,16 @@ class StreamingSpec extends AnyFunSuite with GraphFixtures {
     } finally q.stop()
   }
 
+  test("windowedAggStreamOnce (driver-oracle entry point) equals batch on the fixed-point grid") {
+    val batch = EventStream.windowedAgg(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), quantize = 1e6)
+    val got = EventStream.windowedAggStreamOnce(
+      spark, "/root/testdata/sf0.001/events.parquet", quantize = 1e6)
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
+
   test("dedupStream drops replayed event_ids") {
     val dir = Files.createTempDirectory("graft-events-dup").toString
     val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(100)

@@ -49,6 +49,22 @@ class WebCorpusSpec extends AnyFunSuite with GraphFixtures {
     assert(maxIn > 10 * avgIn, s"expected skew: maxIn=$maxIn avgIn=$avgIn")
   }
 
+  test("id collision audit: planted collision is detected, not silently merged; real ids are clean") {
+    val s = spark
+    import s.implicits._
+    // weak id = url length: "a/x" and "b/y" collide (len 3), "ccccc" alone
+    val urls = Seq("a/x", "b/y", "ccccc").toDF("url")
+    val hits = WebCorpus.idCollisionAudit(urls, u => length(u).cast("long"))
+      .collect()
+    assert(hits.length == 1)
+    assert(hits(0).getLong(1) == 2L)          // n_urls: both 3-char urls
+    assert(hits(0).getString(2) == "a/x")      // min-url witness
+    // the production xxhash64 path over a real corpus: zero collisions
+    // (expected pairs ~ n^2/2^65 ~ 1e-12 at n = 5000 — class doc math)
+    val pages = WebCorpus.synthesize(spark, 5000, seed = 42)
+    assert(WebCorpus.idCollisionAudit(pages.select(col("url"))).count() == 0)
+  }
+
   test("end-to-end: corpus -> link extraction -> GRank -> baskets joined back to urls") {
     val pages = WebCorpus.synthesize(spark, 200, seed = 1).persist()
     val e = WebCorpus.edges(pages)
