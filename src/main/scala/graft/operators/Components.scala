@@ -160,6 +160,59 @@ object Components {
     * choice depends on hash-map iteration order — its own tests only assert
     * partition SIZES on bipartite/star/complete fixtures). Returns (id, color).
     */
+  /** O(log n) 2-coloring via the DOUBLED-graph reduction — the 100-TB scale
+    * path next to the diameter-round [[twoColoring]]: every vertex v splits
+    * into (v, even) and (v, odd), and each undirected edge {u, w} becomes
+    * {(u,even),(w,odd)} and {(u,odd),(w,even)}. Then (u,p) and (w,q) are
+    * connected iff some u-w path has parity p XOR q, so a BIPARTITE
+    * component of G splits into exactly its two color classes — recovered
+    * with [[connectedComponentsStar]] contraction in O(log n) rounds
+    * instead of one superstep per BFS hop. Doubled ids are (v, parity)
+    * STRUCTS (lexicographic min/compare), not 2v+parity arithmetic, so
+    * full-range xxhash64 ids cannot overflow under ANSI mode — and struct
+    * order makes the component containing (minId, even) carry the smaller
+    * label, hence color(v) = 0 iff comp(v,even) < comp(v,odd): bit-equal to
+    * [[twoColoring]]'s min-id-root distance parity wherever parity is
+    * path-independent (i.e. on every bipartite component; test-gated).
+    * A NON-bipartite component collapses into ONE doubled component
+    * ((v,even) ~ (v,odd)) and is returned with color = -1 — an explicit
+    * "no proper 2-coloring exists" flag instead of an arbitrary side.
+    * [[twoColoring]] remains the reference-exact operator (BFS parity,
+    * include/internal/pprInternal.h:30-99) for approximate coloring of
+    * non-bipartite graphs; its round count is bounded by the largest root
+    * eccentricity — accepted for the optional G5 schedule input, where web
+    * components are short-diameter, and replaceable by this operator
+    * whenever the corpus is bipartite or an exact-or-flagged answer is
+    * wanted. */
+  def twoColoringContract(edges: DataFrame, vertices: DataFrame,
+      maxIterations: Int = 100): DataFrame =
+    twoColoringContractWithRounds(edges, vertices, maxIterations)._1
+
+  /** [[twoColoringContract]] plus contraction rounds (O(log n) evidence). */
+  private[graft] def twoColoringContractWithRounds(edges: DataFrame,
+      vertices: DataFrame, maxIterations: Int = 100): (DataFrame, Int) = {
+    val und = EdgeSource.undirected(edges) // drops selfloops
+    def enc(c: org.apache.spark.sql.Column, p: Int) =
+      struct(c.as("v"), lit(p).as("p"))
+    // a selfloop is a length-1 odd cycle: re-add it as the doubled edge
+    // (v,even)-(v,odd), which collapses v's classes into the -1 flag
+    val selfLoops = edges.where(col("src") === col("dst"))
+      .select(enc(col("src"), 0).as("src"), enc(col("src"), 1).as("dst")).distinct()
+    val doubled = und.select(enc(col("src"), 0).as("src"), enc(col("dst"), 1).as("dst"))
+      .union(und.select(enc(col("src"), 1).as("src"), enc(col("dst"), 0).as("dst")))
+      .union(selfLoops)
+    val dv = vertices.select(explode(array(enc(col("id"), 0), enc(col("id"), 1))).as("id"))
+    val (cc2, rounds) = connectedComponentsStarWithRounds(doubled, dv, maxIterations)
+    val even = cc2.where(col("id.p") === 0).select(col("id.v").as("id"), col("comp").as("ce"))
+    val odd = cc2.where(col("id.p") === 1).select(col("id.v").as("id2"), col("comp").as("co"))
+    val res = even.join(odd, col("id") === col("id2"))
+      .select(col("id"),
+        when(col("ce") === col("co"), lit(-1))        // odd cycle: flagged
+          .when(col("ce") < col("co"), lit(0))
+          .otherwise(lit(1)).cast("int").as("color"))
+    (res, rounds)
+  }
+
   def twoColoring(edges: DataFrame, vertices: DataFrame, maxIterations: Int = 100): DataFrame = {
     val und = EdgeSource.undirected(edges).persist()
     // dist(v) starts at 0 for every vertex paired with root candidate = own id;

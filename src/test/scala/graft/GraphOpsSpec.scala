@@ -31,12 +31,19 @@ class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
   test("pagerank: literal and subquery leak plans are bit-identical (quantized and not)") {
     val es = randomGraph(40, 70, seed = 7) ++ Seq((38L, 39L)) // ensure some dangling targets
     val vids = (0L until 42L)
-    for (q <- Seq(0.0, 1e12)) {
-      def run(plan: String) =
-        PageRank.runWithMetrics(edgesDf(es), verticesDf(vids), iterations = 12,
-          tolerance = -1, quantize = q, leakPlan = plan)
-          .state.collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
-      assert(run("literal").sameElements(run("subquery")))
+    def run(plan: String, q: Double) =
+      PageRank.runWithMetrics(edgesDf(es), verticesDf(vids), iterations = 12,
+        tolerance = -1, quantize = q, leakPlan = plan)
+        .state.collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // fixed-point mode: addend order can't matter -> exact bit compare
+    assert(run("literal", 1e12).sameElements(run("subquery", 1e12)))
+    // q=0: per-node double sums depend on shuffle-fetch addend order, which
+    // Spark does not guarantee across the two plan shapes — compare within
+    // a few ulps instead of exactly (ADVICE r3)
+    val (a, b) = (run("literal", 0.0), run("subquery", 0.0))
+    assert(a.length == b.length)
+    a.zip(b).foreach { case ((n1, s1), (n2, s2)) =>
+      assert(n1 == n2 && math.abs(s1 - s2) <= 1e-12 * math.max(1.0, math.abs(s1)))
     }
   }
 
@@ -120,6 +127,40 @@ class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
     val bip = Components.twoColoring(edgesDf(pairs), verticesDf(0L until 8L))
       .collect().map(r => r.getInt(1))
     assert(bip.count(_ == 0) == 4 && bip.count(_ == 1) == 4)
+  }
+
+  test("twoColoringContract: equals BFS parity on bipartite graphs, O(log n) on a 10k path, flags odd cycles") {
+    // bipartite random graph: edges only across the two halves
+    val bipEs = (0 until 60).map { i =>
+      val a = (i * 7 % 20).toLong; val b = 20L + (i * 13 % 20)
+      (a, b)
+    }
+    val vids = 0L until 40L
+    val bfs = Components.twoColoring(edgesDf(bipEs), verticesDf(vids))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fast = Components.twoColoringContract(edgesDf(bipEs), verticesDf(vids))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fast == bfs) // bit-equal where parity is path-independent
+
+    // 10k-vertex path: BFS parity needs ~10k supersteps; contraction ~log n
+    val n = 10000
+    val path = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val (df, rounds) = Components.twoColoringContractWithRounds(
+      edgesDf(path), verticesDf(0L until n.toLong))
+    val colors = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0 until n).forall(i => colors(i.toLong) == i % 2)) // parity from min id 0
+    assert(rounds <= 15, s"doubled-graph contraction took $rounds rounds on a $n-path")
+
+    // odd cycle (triangle) and a selfloop: flagged -1, not arbitrarily sided;
+    // the even cycle stays properly colored
+    val mixed = Seq((0L, 1L), (1L, 2L), (2L, 0L), // triangle
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), // square
+      (20L, 20L)) // selfloop
+    val got = Components.twoColoringContract(edgesDf(mixed),
+        verticesDf(Seq(0L, 1L, 2L, 10L, 11L, 12L, 13L, 20L)))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Seq(0L, 1L, 2L, 20L).forall(got(_) == -1))
+    assert(got(10L) == 0 && got(11L) == 1 && got(12L) == 0 && got(13L) == 1)
   }
 
   // ---- triangles ------------------------------------------------------------
