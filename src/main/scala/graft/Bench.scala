@@ -202,25 +202,20 @@ object Bench {
           waitForCalm(); loads :+= loadavg(); r2s :+= spawn(2, "0-1", 4)
           waitForCalm(); loads :+= loadavg(); r8bs :+= spawn(8, "0-7", 4)
         }
-        def eff28of(): Double =
-          ((nEdges.toDouble / r8bs.map(_("min")).min) / (nEdges.toDouble / r2s.map(_("min")).min)) / 4.0
-        // efficiency > 1 is unphysical for this workload (no cache-capacity
-        // cliff between 2 and 8 cores at this state size): it means the
-        // 2-core leg was noise-inflated despite the calm gate (r2 recorded
-        // 2.1 exactly this way). The min estimator is only valid if at least
-        // one leg ran clean — take up to 2 extra interleaved repeats.
-        var extra = 0
-        while ((eff28of() > 1.02 || eff28of() < 0.5) && extra < 2) {
-          waitForCalm(); loads :+= loadavg(); r2s :+= spawn(2, "0-1", 4)
-          waitForCalm(); loads :+= loadavg(); r8bs :+= spawn(8, "0-7", 4)
-          extra += 1
-        }
         val (m2, m8b) = (r2s.map(_("min")).min, r8bs.map(_("min")).min)
-        val eff28 = eff28of()
+        val eff28 = ((nEdges.toDouble / m8b) / (nEdges.toDouble / m2)) / 4.0
+        // FIXED repeat count — no result-conditioned resampling (a loop that
+        // re-measures until the ratio lands in a plausibility band biases
+        // the published number; ADVICE r3). Efficiency outside (0.5, 1.02)
+        // is unphysical for this workload on this box (no cache-capacity
+        // cliff between 2 and 8 cores at this state size) and means a leg
+        // was noise-inflated despite the calm gate + min estimator — the
+        // JSON flags it for the reader instead of hiding the evidence.
+        val noiseSuspect = eff28 > 1.02 || eff28 < 0.5
         smallJson = s""","primary_pair":"2->8","min_superstep_sec_2_short":$m2,"min_superstep_sec_8_short":$m8b,
                        |"runs_2":${r2s.map(_("min")).mkString("[", ",", "]")},
                        |"runs_8_short":${r8bs.map(_("min")).mkString("[", ",", "]")},
-                       |"scaling_efficiency_2_to_8":$eff28""".stripMargin.replace("\n", "")
+                       |"scaling_efficiency_2_to_8":$eff28,"eff_2_8_noise_suspect":$noiseSuspect""".stripMargin.replace("\n", "")
       }
       scalingJson =
         s"""{"edges":$nEdges,"repeats":$repeats,

@@ -60,6 +60,10 @@ object HubBench {
     }
     run(0)            // unsalted: key H is one 40M-row straggler task
     run(200000)       // salted: only indeg > 200k (the hub) splits 8-way
+    run(-1)           // AUTO (break-even 1e8 / L=100 -> indeg 1e6): engages
+                      // iff hubIndeg > 1e6 — off at 400k, on at 1.5M,
+                      // reproducing the measured win/loss table with no
+                      // operator-supplied threshold
     spark.stop()
   }
 }

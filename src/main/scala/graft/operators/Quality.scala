@@ -64,9 +64,15 @@ object Quality {
       .localCheckpoint(true)
   }
 
-  /** @param precomputedOracle exact-PPR result covering (at least) this
-    *   run's sampled seeds — lets N evaluate() calls share one oracle job.
-    *   Coverage is asserted; extra seeds are filtered out. */
+  /** @param precomputedOracle exact-PPR result covering this run's sampled
+    *   seeds — lets N evaluate() calls share one oracle job. Extra seeds are
+    *   filtered out; seeds it does NOT cover get their oracle computed here
+    *   (with this call's oracleIterations/oracleTolerance/quantize) instead
+    *   of aborting — failing after the caller's expensive approximation
+    *   phase would waste it (ADVICE r3). CONTRACT: the precomputed frame
+    *   must itself have been built with the same oracle parameters as this
+    *   call's — parameter equality cannot be checked from the frame, so a
+    *   mismatched oracle silently skews the metrics. */
   def evaluate(
       approx: DataFrame, // (seed, node, score)
       edges: DataFrame,
@@ -94,16 +100,19 @@ object Quality {
     }
 
     val approxS = approx.join(sampled, Seq("seed"), "left_semi").localCheckpoint(true)
-    val oracle = precomputedOracle match {
-      case Some(pre) =>
-        val uncovered = sampled.join(pre.select(col("seed")).distinct(),
-          Seq("seed"), "left_anti").count()
-        require(uncovered == 0,
-          s"precomputed oracle is missing $uncovered of the $nSampled sampled seeds")
-        pre.join(sampled, Seq("seed"), "left_semi")
-      case None => ExactPpr.run(edges, sampled.select(col("seed").as("id")),
+    def computeOracle(seeds: DataFrame): DataFrame =
+      ExactPpr.run(edges, seeds.select(col("seed").as("id")),
         iterations = oracleIterations, damping = 0.85,
         tolerance = oracleTolerance, quantize = quantize) // reference: 100/0.85/1e-4 (:32,:91)
+    val oracle = precomputedOracle match {
+      case Some(pre) =>
+        val uncoveredSeeds = sampled.join(pre.select(col("seed")).distinct(),
+          Seq("seed"), "left_anti").localCheckpoint(true)
+        val covered = pre.join(sampled, Seq("seed"), "left_semi")
+        if (uncoveredSeeds.isEmpty) covered
+        else covered.select(col("seed"), col("node"), col("score"))
+          .union(computeOracle(uncoveredSeeds).select(col("seed"), col("node"), col("score")))
+      case None => computeOracle(sampled)
     }
 
     // per-seed approx basket size, and oracle truncated to that size (:93-95)

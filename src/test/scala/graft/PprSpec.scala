@@ -92,6 +92,30 @@ class PprSpec extends AnyFunSuite with GraphFixtures {
     assertAllClose(a, d, 1e-12)
   }
 
+  test("grank: auto salt threshold reproduces the HubBench win/loss table and is semantics-neutral") {
+    // decision function: break-even 1e8 rows/key at L=100 -> indeg 1e6;
+    // the measured 1.5M-indeg hub engages, the 400k one stays off
+    val t = GRank.resolveSaltThreshold(PprConfig(50, 100, 2, saltThreshold = -1))
+    assert(t == 1000000L)
+    assert(1500000L > t && 400000L < t)
+    // explicit values pass through unchanged
+    assert(GRank.resolveSaltThreshold(PprConfig(4, 8, 2, saltThreshold = 0)) == 0L)
+    assert(GRank.resolveSaltThreshold(PprConfig(4, 8, 2, saltThreshold = 7)) == 7L)
+
+    // integration: shrunken break-even so auto ENGAGES on a small fixture
+    // (hub indeg 14 > 48/8 = 6) and on the same graph with the default
+    // break-even stays OFF — results identical either way and identical to
+    // explicit salting
+    val hubEs = (0L until 14L).map(i => (i + 1L, 0L)) ++ Seq((0L, 1L), (0L, 2L))
+    val es = edgesDf(hubEs); val vs = verticesDf(0L until 15L)
+    val base = baskets(GRank.run(es, vs, PprConfig(4, 8, 6, tolerance = -1, saltThreshold = 0)))
+    val autoOn = baskets(GRank.run(es, vs,
+      PprConfig(4, 8, 6, tolerance = -1, saltThreshold = -1, saltAutoBreakEven = 48, saltBuckets = 4)))
+    val autoOff = baskets(GRank.run(es, vs, PprConfig(4, 8, 6, tolerance = -1, saltThreshold = -1)))
+    assertAllClose(base, autoOn, 1e-12)
+    assertAllClose(base, autoOff, 1e-12)
+  }
+
   test("grank: parameter validation matches the reference contract") {
     // grankTest.cc:20-29 / include/grank.h:51-57
     assertThrows[IllegalArgumentException](PprConfig(0, 1, 1))

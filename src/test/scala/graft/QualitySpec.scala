@@ -21,6 +21,22 @@ class QualitySpec extends AnyFunSuite with GraphFixtures {
     assert(m("average map size") == 6.0)
   }
 
+  test("quality: partial precomputed oracle falls back per uncovered seed, same metrics") {
+    val es = edgesDf(cycle(6)); val vs = verticesDf(0L until 6L)
+    val exact = ExactPpr.run(es, vs, 100, 0.85, 1e-4)
+    def metrics(pre: Option[org.apache.spark.sql.DataFrame]) =
+      Quality.evaluate(exact, es, vs, testNodes = 6, strict = true,
+        precomputedOracle = pre)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val full = metrics(None)
+    // precomputed oracle covering only half the seeds (same params): the
+    // uncovered half is computed on the fly instead of require-failing
+    val half = exact.where(col("seed") < 3)
+    assert(metrics(Some(half)) == full)
+    // and a fully-covering precomputed oracle still short-circuits
+    assert(metrics(Some(exact)) == full)
+  }
+
   test("quality: zero sampled nodes (strict on edgeless) -> all -1 sentinels") {
     // benchmarkAlgorithmTest.cc:43-53
     val es = edgesDf(Nil); val vs = verticesDf(0L until 4L)
