@@ -66,6 +66,38 @@ object OracleSql {
        |${pprChain(iterations, damping, "seeds", "s")}
        |SELECT seed, node, score FROM s$iterations""".stripMargin
 
+  /** Synchronous forward-push PPR (operators/PushPpr): `iterations` unrolled
+    * push supersteps from `nSeeds` seeds. Each superstep: entries whose
+    * residual crosses rmax·outdeg fire (danglings always fire and leak the
+    * damping share), firing converts (1−d)·residual into score and scatters
+    * residual·factor along adj; grid-sums make both columns order-exact. */
+  def pushPpr(iterations: Int, rmax: Double, damping: Double, nSeeds: Int): String = {
+    val tele = dlit(1.0 - damping)
+    val init =
+      s"""p0 AS MATERIALIZED (SELECT id AS seed, id AS node,
+         |   ${dlit(0.0)} AS score, ${dlit(1.0)} AS residual FROM seeds)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s"""f$i AS MATERIALIZED (SELECT s.seed, s.node, s.score, s.residual,
+         |   (s.residual > 0 AND s.residual >= ${dlit(rmax)} * coalesce(od.outdeg, 0)) AS fires
+         |   FROM p${i - 1} s LEFT JOIN od ON s.node = od.src),
+         | p$i AS MATERIALIZED (SELECT seed, node, score, residual FROM (
+         |   SELECT seed, node, ${gridSum("score")} AS score, ${gridSum("residual")} AS residual FROM (
+         |     SELECT seed, node,
+         |       CASE WHEN fires THEN score + $tele * residual ELSE score END AS score,
+         |       CASE WHEN fires THEN ${dlit(0.0)} ELSE residual END AS residual
+         |     FROM f$i
+         |     UNION ALL
+         |     SELECT f.seed, a.dst AS node, ${dlit(0.0)} AS score, f.residual * a.factor AS residual
+         |     FROM f$i f JOIN adj a ON f.node = a.src WHERE f.fires)
+         |   GROUP BY 1, 2) WHERE score != 0 OR residual != 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graphCtes(damping)},
+       | seeds AS MATERIALIZED (SELECT id FROM v ORDER BY id LIMIT $nSeeds),
+       |$init,
+       |$steps
+       |SELECT seed, node, score, residual FROM p$iterations""".stripMargin
+  }
+
   /** GRank (include/grank.h:43-149): state init = self-teleport + one-hop
     * scatter pruned to L; each superstep = gather-from-successors + teleport,
     * grid-sum, top-L prune (ties score DESC, node ASC); final top-K. */
@@ -386,6 +418,44 @@ object OracleSql {
        |QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $k""".stripMargin
   }
 
+  /** IVF ANN top-k (functions/Similarity.ivfTopK): the FULL pipeline is
+    * replayed — seeded initial centroids (mix31 components), one Lloyd step
+    * whose per-cell means are fixed-point grid sums (order-independent),
+    * cosine argmax assignment (ties -> smallest cell), nProbe best cells
+    * per query, exact cosine within probed cells, top-k. */
+  def annIvf(k: Int, nCells: Int, nProbe: Int, dims: Int, seed: Long,
+      queryBound: Int): String = {
+    val comp = graft.kernels.Mix.sql("i", "c", "1", seed * 7919L + 777773L)
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | cent0 AS MATERIALIZED (SELECT c,
+       |     list_transform(range(0, $dims), i -> (($comp) % 2000001 - 1000000) / 1000000.0) AS cent
+       |   FROM range(0, $nCells) t(c)),
+       | a0 AS MATERIALIZED (SELECT vec_id, v, c, list_cosine_similarity(v, cent) AS s
+       |   FROM emb CROSS JOIN cent0),
+       | asg0 AS MATERIALIZED (SELECT vec_id, v, c AS cell FROM a0
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) = 1),
+       | sums AS MATERIALIZED (SELECT cell, dim,
+       |     CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS BIGINT) AS sx, count(*) AS n
+       |   FROM (SELECT cell, unnest(range(0, $dims)) AS dim, unnest(v) AS x FROM asg0)
+       |   GROUP BY 1, 2),
+       | cent1n AS MATERIALIZED (SELECT cell AS c, list(sx / (n * 1e6) ORDER BY dim) AS cent
+       |   FROM sums GROUP BY cell),
+       | cent1 AS MATERIALIZED (SELECT c0.c AS c, coalesce(c1.cent, c0.cent) AS cent
+       |   FROM cent0 c0 LEFT JOIN cent1n c1 ON c0.c = c1.c),
+       | a1 AS MATERIALIZED (SELECT e.vec_id, e.v, c1.c, list_cosine_similarity(e.v, c1.cent) AS s
+       |   FROM emb e CROSS JOIN cent1 c1),
+       | inv AS MATERIALIZED (SELECT vec_id AS node, v AS cv, c AS cell FROM a1
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) = 1),
+       | probes AS MATERIALIZED (SELECT vec_id AS seed, v AS qv, c AS cell FROM a1
+       |   WHERE vec_id < $queryBound
+       |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) <= $nProbe),
+       | sc AS MATERIALIZED (SELECT DISTINCT p.seed, i.node,
+       |     list_cosine_similarity(p.qv, i.cv) AS score
+       |   FROM probes p JOIN inv i ON p.cell = i.cell WHERE p.seed <> i.node)
+       |SELECT seed, node FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $k""".stripMargin
+  }
+
   /** Shared CTE prefix of the threshold-0.7 near-dup oracles: the planted
     * near-duplicate corpus (every document + a copy with an appended tail —
     * long docs stay above shingle-Jaccard 0.7, short ones drop below, so the
@@ -491,6 +561,39 @@ object OracleSql {
        |SELECT id, count(*) AS n_urls, min(url) AS first_url
        |FROM h GROUP BY id HAVING count(*) > 1""".stripMargin
   }
+
+  /** O(log n) doubled-graph 2-coloring (operators/Components
+    * .twoColoringContract): vertex v splits into parity nodes (v,0)/(v,1),
+    * every undirected edge connects opposite parities, selfloops connect
+    * (v,0)-(v,1) directly; comp labels propagate by the same recursive
+    * min-CTE as connected components, encoding (cv,cp) as cv*2+cp (ids are
+    * nonnegative TPC-H keys, so the encoding preserves the struct
+    * lexicographic order the Spark side uses). color = 0/1 by which parity
+    * class holds the smaller label; -1 when both parities share a component
+    * (odd cycle — no proper 2-coloring). */
+  def twoColoringContract(): String =
+    s"""WITH RECURSIVE
+       | e AS (SELECT DISTINCT src, dst FROM (
+       |   SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem
+       |   UNION ALL SELECT 10000000 + i, 10000001 + i FROM range(0, 9) t(i))),
+       | und AS (SELECT src, dst FROM e WHERE src <> dst
+       |         UNION SELECT dst, src FROM e WHERE src <> dst),
+       | sl AS (SELECT DISTINCT src AS v FROM e WHERE src = dst),
+       | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       | de AS (SELECT src, 0 AS sp, dst, 1 AS dp FROM und
+       |        UNION ALL SELECT src, 1, dst, 0 FROM und
+       |        UNION ALL SELECT v, 0, v, 1 FROM sl
+       |        UNION ALL SELECT v, 1, v, 0 FROM sl),
+       | r(nv, np, label) AS (
+       |   SELECT id, pp, id * 2 + pp FROM v CROSS JOIN (VALUES (0), (1)) t(pp)
+       |   UNION
+       |   SELECT de.dst, de.dp, r.label FROM r JOIN de ON r.nv = de.src AND r.np = de.sp),
+       | cmp AS (SELECT nv, np, min(label) AS c FROM r GROUP BY nv, np),
+       | ce AS (SELECT nv AS id, c FROM cmp WHERE np = 0),
+       | co AS (SELECT nv AS id, c AS c2 FROM cmp WHERE np = 1)
+       |SELECT ce.id AS id,
+       |  CAST(CASE WHEN c = c2 THEN -1 WHEN c < c2 THEN 0 ELSE 1 END AS INT) AS color
+       |FROM ce JOIN co ON ce.id = co.id""".stripMargin
 
   /** findPartitions 2-coloring (operators/Components.twoColoring): color =
     * parity of the shortest undirected distance from the component's

@@ -103,6 +103,97 @@ object Similarity {
     TopK.pruneTopL(scored, k, "bounded")
   }
 
+  /** Deterministic seeded initial centroid component for IVF cell c, dim i:
+    * uniform in [-1, 1) from the SQL-replayable mixer (distinct salt from
+    * the LSH planes). */
+  private[graft] def centroidComponentScala(i: Long, c: Long, seed: Long): Double =
+    (graft.kernels.Mix.mix31Scala(i, c, 1L, seed * 7919L + 777773L) % 2000001L - 1000000L) / 1000000.0
+
+  /** IVF (inverted-file) coarse quantizer: `nCells` centroids — seeded
+    * deterministic init, refined by `lloydIters` Lloyd steps whose per-cell
+    * means are summed on a fixed-point grid (round(x*1e6) as exact LONGs,
+    * divided back once), so the trained centroids are independent of
+    * partitioning/addend order and an external SQL oracle can replay the
+    * whole training bit-exactly. Returns (cell INT, centroid ARRAY<DOUBLE>);
+    * empty cells keep their previous centroid. Assignment metric is cosine
+    * with ties broken by smallest cell id (deterministic). */
+  def ivfTrain(corpus: DataFrame, nCells: Int, dims: Int,
+      lloydIters: Int = 1, seed: Long = 42L,
+      vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    var centroids: Seq[(Int, Seq[Double])] = (0 until nCells).map(c =>
+      c -> (0 until dims).map(i => centroidComponentScala(i.toLong, c.toLong, seed)))
+    var it = 0
+    while (it < lloydIters) {
+      val assigned = corpus.select(col(vecCol).as("v"),
+        assignCell(col(vecCol), centroids).as("cell"))
+      // fixed-point per-cell per-dim mean: exact LONG sums, one division
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(round(col("x") * 1e6).cast("long")).as("sx"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(map_from_arrays(collect_list(col("dim")),
+          collect_list(col("sx") / (col("n") * 1e6))).as("m"))
+        .collect().map(r => r.getInt(0) ->
+          r.getMap[Int, Double](1)).toMap
+      centroids = centroids.map { case (c, old) =>
+        sums.get(c) match {
+          case Some(m) => c -> (0 until dims).map(i => m(i))
+          case None    => c -> old // empty cell keeps its centroid
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Cell assignment column: argmax cosine(v, centroid) over LITERAL
+    * centroids (ties -> smallest cell id). One projection, no join.
+    * array_sort over (−cosine, cell) structs keeps the expression tree
+    * LINEAR in nCells — a when()-chain reduce embeds each operand three
+    * times per level (exponential tree, measured as a driver heap OOM at
+    * 16 cells x 64 dims). */
+  private[graft] def assignCell(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val scored = array(centroids.map { case (c, cent) =>
+      struct((-cosine(vec, typedLit(cent))).as("negs"), lit(c).as("c"))
+    }: _*)
+    element_at(array_sort(scored), 1).getField("c")
+  }
+
+  /** IVF approximate top-k: corpus vectors are bucketed by trained cell;
+    * each query probes its `nProbe` best cells and scores exact cosine only
+    * within them. The 100-TB shape: the corpus side is a cell-partitioned
+    * inverted file built ONCE (re-usable across query batches), the probe
+    * join touches |Q| * nProbe cells instead of the whole corpus, and the
+    * per-cell candidate lists shuffle on 4-byte cell keys. Recall knob:
+    * nProbe (and nCells controls the cell granularity). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 1,
+      seed: Long = 42L, idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = -1): DataFrame = {
+    val d = if (dims > 0) dims else corpus.select(size(col(vecCol))).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(d > 0, "ivfTopK needs the embedding dimensionality (empty corpus?)")
+    require(nProbe >= 1 && nProbe <= nCells, "1 <= nProbe <= nCells")
+    val centroids = ivfTrain(corpus, nCells, d, lloydIters, seed, vecCol)
+    val inverted = corpus.select(col(idCol).as("node"), col(vecCol).as("cv"),
+      assignCell(col(vecCol), centroids).as("cell"))
+    // per-query probe list: nProbe best cells by centroid cosine (desc,
+    // cell asc) — computed as a literal-centroid projection + explode
+    val probeScores = array(centroids.map { case (c, cent) =>
+      struct((-cosine(col("qv"), typedLit(cent))).as("negs"), lit(c).as("c"))
+    }: _*)
+    val probes = queries.select(col(idCol).as("seed"), col(vecCol).as("qv"))
+      .select(col("seed"), col("qv"),
+        explode(slice(array_sort(probeScores), 1, nProbe)).as("p"))
+      .select(col("seed"), col("qv"), col("p.c").as("cell"))
+    val scored = probes.join(inverted, Seq("cell"))
+      .where(col("seed") =!= col("node"))
+      .select(col("seed"), col("node"), cosine(col("qv"), col("cv")).as("score"))
+      .dropDuplicates("seed", "node")
+    TopK.pruneTopL(scored, k, "bounded")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share at least one of the
     * two half-signatures (multi-probe lite), exact cosine within candidates,
     * bounded TopK per query. Recall < 1 by construction; the tradeoff knob

@@ -192,6 +192,37 @@ class FunctionsSpec extends AnyFunSuite with GraphFixtures {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("IVF top-k: high recall vs brute force on clustered vectors; deterministic across runs") {
+    val rnd = new scala.util.Random(4)
+    def jitter(base: Array[Float]) = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
+    val c1 = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val c2 = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val rows = (0L until 30L).map(i => i -> jitter(if (i % 2 == 0) c1 else c2))
+    val d = vecs(rows).persist()
+    val q = d.where(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(q, d, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 cells / probe 2: the Lloyd step should pull two centroids onto the
+    // two planted clusters, so probing the best cells recovers neighbors
+    def run() = Similarity.ivfTopK(q, d, 5, nCells = 4, nProbe = 2, dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = run()
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+    assert(run() == approx) // training + assignment fully deterministic
+    d.unpersist()
+  }
+
+  test("IVF training: grid-summed Lloyd step is partitioning-invariant") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 24L).map(i => i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    val d1 = vecs(rows).repartition(1)
+    val d8 = vecs(rows).repartition(8)
+    val a = Similarity.ivfTrain(d1, nCells = 3, dims = 8)
+    val b = Similarity.ivfTrain(d8, nCells = 3, dims = 8)
+    assert(a == b) // exact fixed-point sums: addend order can't matter
+  }
+
   test("literal-plane signature is bit-identical to the expression form") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 40L).map(i => i -> Seq.fill(16)(rnd.nextFloat() * 2 - 1))
