@@ -23,7 +23,7 @@ object Bench {
 
   private val headline = Seq(
     "q_edges_dedup", "q_degrees", "q_topk_per_seed", "q_triangle_count",
-    "q_grank", "q_exact_ppr", "q_mc_ppr", "q_pagerank",
+    "q_grank", "q_exact_ppr", "q_mc_ppr", "q_push_ppr", "q_pagerank",
     "q_connected_components", "q_label_propagation",
     "q_minhash_neardup", "q_simhash_neardup", "q_ann_lsh", "q_ann_brute",
     "q_token_count", "q_sessionize")

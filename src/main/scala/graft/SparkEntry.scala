@@ -111,6 +111,14 @@ object SparkEntry {
       val seeds = v.orderBy(col("id")).limit(10)
       ExactPpr.run(e, seeds, iterations = 15, damping = 0.85, tolerance = -1, quantize = 1e12)
     }),
+    // forward-push PPR (r4): the third algorithm family — work scales with
+    // pushed mass, not |V|·iterations; residual column verified too
+    "q_push_ppr" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      val seeds = v.orderBy(col("id")).limit(10)
+      PushPpr.run(e, seeds, rmax = 1e-4, iterations = 8, damping = 0.85,
+        tolerance = -1, quantize = 1e12).state
+    }),
     "q_grank" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
       GRank.run(e, v, PprConfig(K = 10, L = 20, iterations = 6, tolerance = -1,
@@ -145,6 +153,18 @@ object SparkEntry {
     "q_two_coloring" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
       Components.twoColoring(e, v)
+    }),
+    // the O(log n) doubled-graph contraction coloring (r4): exact 0/1 on
+    // bipartite components, -1 where no proper 2-coloring exists. The
+    // lineitem graph is one non-bipartite blob (all -1), so a disjoint
+    // 10-vertex path is planted to exercise the proper-coloring branch in
+    // the same driver row
+    "q_two_coloring_contract" -> ((s, dir) => {
+      val (e, _) = graph(s, dir)
+      val path = s.range(9).select((col("id") + 10000000L).as("src"),
+        (col("id") + 10000001L).as("dst"))
+      val e2 = e.union(path)
+      Components.twoColoringContract(e2, EdgeSource.vertices(e2))
     }),
     "q_quality_harness" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
@@ -270,6 +290,17 @@ object SparkEntry {
         dims = 64) // testdata embedding width; skips two 1-row probe jobs
         .select(col("seed"), col("node"))
     }),
+    // IVF (inverted-file) ANN — the data-adaptive cell-probing scale path
+    // next to LSH (r4): seeded centroids + one fixed-point-grid Lloyd step
+    // (order-independent, so the oracle replays training bit-exactly),
+    // nProbe=4 of 16 cells per query, exact cosine within probed cells
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      Similarity.ivfTopK(e.where(col("vec_id") < 50), e, k = 5,
+        nCells = 16, nProbe = 4, dims = 64)
+        .select(col("seed"), col("node"))
+    }),
     // ---- multimodal plumbing -------------------------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.synthesize(s, 200))),
@@ -377,8 +408,11 @@ object SparkEntry {
     "q_multimodal_meta" -> OracleSql.multimodalMeta(n = 200, seed = 42L),
     "q_media_features" -> OracleSql.mediaFeatures(n = 200, seed = 42L),
     "q_ann_lsh" -> OracleSql.annLsh(k = 5, planes = 10, seed = 42L, queryBound = 50),
+    "q_ann_ivf" -> OracleSql.annIvf(k = 5, nCells = 16, nProbe = 4, dims = 64,
+      seed = 42L, queryBound = 50),
     // ---- iterative operators: unrolled-CTE oracles (fixed-point mode) -----
     "q_exact_ppr" -> OracleSql.exactPpr(iterations = 15, damping = 0.85, nSeeds = 10),
+    "q_push_ppr" -> OracleSql.pushPpr(iterations = 8, rmax = 1e-4, damping = 0.85, nSeeds = 10),
     "q_grank" -> OracleSql.grank(k = 10, l = 20, iterations = 6, damping = 0.85),
     "q_pagerank" -> OracleSql.pageRank(iterations = 40, damping = 0.85),
     "q_mc_ppr" -> OracleSql.mcPpr(k = 10, l = 20, r = 30, damping = 0.85, salt = 42L, maxSteps = 64),
@@ -387,6 +421,7 @@ object SparkEntry {
     "q_quality_harness" -> OracleSql.qualityHarness(k = 10, l = 20, grankIterations = 8,
       oracleIterations = 20, testNodes = 20, damping = 0.85, sampleSeed = 42L),
     "q_two_coloring" -> OracleSql.twoColoring(),
+    "q_two_coloring_contract" -> OracleSql.twoColoringContract(),
     "q_ann_brute" ->
       """WITH scored AS (
         | SELECT q.vec_id AS seed, c.vec_id AS node,

@@ -190,4 +190,49 @@ class PprSpec extends AnyFunSuite with GraphFixtures {
       assert(sAuto.maxInFlight == 0L, "auto on a broadcastable graph must take the local engine")
     }
   }
+
+  // ---- forward-push PPR (operators/PushPpr) -----------------------------
+  test("push: converges to exact PPR within the total-residual bound") {
+    val es = randomGraph(20, 70, seed = 5)
+    val res = operators.PushPpr.run(edgesDf(es), verticesDf(Seq(2L, 9L)),
+      rmax = 1e-12, iterations = 60, damping = 0.85)
+    val rows = res.state.collect()
+    val scores = rows.groupBy(_.getLong(0)).map { case (s, rs) =>
+      s -> rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    }
+    val resid = rows.map(_.getDouble(3)).sum // invariant: |ppr - p| <= sum r
+    // two seeds, always-push: residual mass decays as 2 * 0.85^60 ~ 1.2e-4
+    assert(resid < 2e-4, s"residual mass $resid after 60 always-push supersteps")
+    for (seed <- Seq(2L, 9L)) {
+      val exact = localExactPpr(es, 0L until 20L, seed, 200, 0.85, 1e-10)
+      assertAllClose(Map(seed -> scores(seed)), Map(seed -> exact), resid + 1e-9)
+    }
+  }
+
+  test("push: isolated seed fires once -> {v: (0.15, 0)} — dangling leak preserved") {
+    val res = operators.PushPpr.run(edgesDf(Nil), verticesDf(Seq(7L)),
+      rmax = 1e-6, iterations = 5, damping = 0.85, tolerance = 1e-9)
+    val rows = res.state.collect()
+    assert(rows.length == 1)
+    assert(math.abs(rows(0).getDouble(2) - 0.15) < 1e-12) // (1-d) * 1
+    assert(rows(0).getDouble(3) == 0.0) // damping share leaked, not queued
+    assert(res.history.length <= 3, "frontier-empty state must stop the tolerance loop")
+  }
+
+  test("push: degree-normalized threshold gates firing; nothing moves below it") {
+    // seed = star center with outdeg 5: threshold rmax*5 = 2.5 > residual 1
+    val res = operators.PushPpr.run(edgesDf(starOut(5)), verticesDf(Seq(0L)),
+      rmax = 0.5, iterations = 6, damping = 0.85, tolerance = 1e-9)
+    val rows = res.state.collect()
+    assert(rows.length == 1 && rows(0).getDouble(2) == 0.0 && rows(0).getDouble(3) == 1.0)
+  }
+
+  test("push: fixed-point grid result is partitioning-invariant") {
+    val es = randomGraph(18, 60, seed = 13)
+    def run(parts: Int) = operators.PushPpr.run(
+      edgesDf(es).repartition(parts), verticesDf(Seq(1L, 4L)).repartition(parts),
+      rmax = 1e-4, iterations = 6, damping = 0.85, quantize = 1e12)
+      .state.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(run(1) == run(7))
+  }
 }
