@@ -66,6 +66,45 @@ object OracleSql {
        |${pprChain(iterations, damping, "seeds", "s")}
        |SELECT seed, node, score FROM s$iterations""".stripMargin
 
+  /** Shared HLL CTEs (functions/Sketch): edge-endpoint multiset -> mixer
+    * hash -> (bucket, rho) -> per-bucket max. Integer-only up to `reg`. */
+  private def hllCtes(p: Int, salt: Long): String = {
+    val m = 1 << p
+    val mix = graft.kernels.Mix.sql("v", "0", "1", salt)
+    s"""e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       | vals AS MATERIALIZED (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e),
+       | hx AS MATERIALIZED (SELECT ($mix) AS h FROM vals),
+       | rr AS (SELECT CAST(h % $m AS INT) AS bucket,
+       |   CAST(${31 - p + 1} - length(ltrim(bin(h >> $p), '0')) AS INT) AS rho FROM hx),
+       | reg AS MATERIALIZED (SELECT bucket, max(rho) AS rho FROM rr GROUP BY 1)""".stripMargin
+  }
+
+  /** HLL register table over the edge-endpoint multiset. */
+  def hllRegisters(p: Int, salt: Long): String =
+    s"""WITH ${hllCtes(p, salt)}
+       |SELECT bucket, rho FROM reg""".stripMargin
+
+  /** HLL estimate: exact-integer harmonic sum (2^(32-rho) per register,
+    * 2^32 per empty bucket), one floating division, published small-range
+    * linear-counting branch, 1e-6 output grid. Mirrors Sketch.hllEstimate's
+    * operation order token for token. */
+  def hllEstimate(p: Int, salt: Long): String = {
+    val m = 1 << p
+    val alpha = graft.functions.Sketch.alphaFor(m)
+    s"""WITH ${hllCtes(p, salt)},
+       | s AS (SELECT count(*) AS filled,
+       |   CAST(sum(CAST(power(2, 32 - rho) AS BIGINT)) AS BIGINT) AS sumnon FROM reg),
+       | t AS (SELECT filled, $m - filled AS zeros,
+       |   sumnon + ($m - filled) * 4294967296 AS sumint FROM s),
+       | u AS (SELECT filled, zeros,
+       |   ${dlit(alpha)} * ${dlit(m.toDouble)} * ${dlit(m.toDouble)} * 4294967296.0 / sumint AS raw
+       |   FROM t)
+       |SELECT round((CASE WHEN raw <= ${dlit(2.5 * m)} AND zeros > 0
+       |    THEN ${dlit(m.toDouble)} * ln(${dlit(m.toDouble)} / zeros) ELSE raw END) * 1e6) / 1e6 AS est,
+       |  filled
+       |FROM u""".stripMargin
+  }
+
   /** Synchronous forward-push PPR (operators/PushPpr): `iterations` unrolled
     * push supersteps from `nSeeds` seeds. Each superstep: entries whose
     * residual crosses rmax·outdeg fire (danglings always fire and leak the

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Multimodal, Similarity, Sketch, TextAnalysis}
 import graft.kernels.{Metrics, TopK}
 import graft.model.PprConfig
 import graft.operators._
@@ -217,6 +217,19 @@ object SparkEntry {
         u => pmod(Dedup.polyHash(u), lit(257L)))
     }),
     // ---- text analysis -----------------------------------------------------
+    // HLL distinct-count sketch (r4): register table + estimate, both
+    // hash-exact (integer registers; exact-integer harmonic sum, one
+    // division, 1e-6 output grid) over the edge-endpoint multiset
+    "q_hll_registers" -> ((s, dir) => {
+      val (e, _) = graph(s, dir)
+      val vals = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      Sketch.hllRegisters(vals, "v", p = 8, salt = 42L)
+    }),
+    "q_hll_estimate" -> ((s, dir) => {
+      val (e, _) = graph(s, dir)
+      val vals = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      Sketch.approxDistinct(vals, "v", p = 8, salt = 42L)
+    }),
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))),
@@ -372,6 +385,8 @@ object SparkEntry {
         |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
         |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch, count(*) AS n_events
         |FROM z GROUP BY user_id, sid""".stripMargin,
+    "q_hll_registers" -> OracleSql.hllRegisters(p = 8, salt = 42L),
+    "q_hll_estimate" -> OracleSql.hllEstimate(p = 8, salt = 42L),
     "q_token_count" ->
       "SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens FROM documents",
     "q_subword_count" ->

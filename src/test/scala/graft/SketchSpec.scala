@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketch
+
+/** HLL sketch: accuracy envelopes, shard mergeability, branch coverage,
+  * partitioning invariance (SQL-replayability is driver-gated by
+  * q_hll_registers / q_hll_estimate). */
+class SketchSpec extends AnyFunSuite with GraphFixtures {
+
+  private def longs(vs: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    vs.toDF("v")
+  }
+
+  test("hll: estimate within the published error envelope at n >> m") {
+    // 5000 distinct over m=256 buckets: sigma ~ 1.04/sqrt(256) = 6.5%
+    val n = 5000L
+    val vals = longs(0L until n)
+    val est = Sketch.approxDistinct(vals, "v", p = 8).head().getDouble(0)
+    assert(math.abs(est - n) / n < 0.2, s"est $est vs exact $n")
+  }
+
+  test("hll: duplicates do not move the sketch") {
+    val base = longs(0L until 1000L)
+    val dup = base.union(base).union(base)
+    val a = Sketch.hllRegisters(base, "v", p = 8).collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val b = Sketch.hllRegisters(dup, "v", p = 8).collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(a == b)
+  }
+
+  test("hll: shard registers merge by bucket-wise max to the whole-input sketch") {
+    val whole = longs(0L until 3000L)
+    val (s1, s2) = (longs(0L until 2000L), longs(1500L until 3000L)) // overlapping shards
+    val merged = Sketch.mergeRegisters(
+      Sketch.hllRegisters(s1, "v", p = 8), Sketch.hllRegisters(s2, "v", p = 8))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val direct = Sketch.hllRegisters(whole, "v", p = 8)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(merged == direct)
+  }
+
+  test("hll: small-range linear-counting branch engages and stays accurate") {
+    val n = 40L // << 2.5 * 256, leaves empty buckets -> ln branch
+    val row = Sketch.approxDistinct(longs(0L until n), "v", p = 8).head()
+    val (est, filled) = (row.getDouble(0), row.getLong(1))
+    assert(filled < 256, "expected empty buckets at n=40")
+    assert(math.abs(est - n) / n < 0.15, s"linear-counting est $est vs exact $n")
+  }
+
+  test("hll: registers and estimate are partitioning-invariant") {
+    val vs = (0L until 1200L)
+    def regs(parts: Int) = Sketch.hllRegisters(longs(vs).repartition(parts), "v", p = 8)
+    assert(regs(1).collect().toSet == regs(13).collect().toSet)
+    val e1 = Sketch.hllEstimate(regs(1), 8).head().getDouble(0)
+    val e13 = Sketch.hllEstimate(regs(13), 8).head().getDouble(0)
+    assert(e1 == e13) // exact-integer harmonic sum: bit-equal, not just close
+  }
+}
