@@ -66,6 +66,34 @@ object OracleSql {
        |${pprChain(iterations, damping, "seeds", "s")}
        |SELECT seed, node, score FROM s$iterations""".stripMargin
 
+  /** Synchronous h-index coreness (operators/KCore): estimates start at the
+    * undirected degree; each round replaces a vertex's value with the
+    * h-index of its neighbors' values — max(least(rank, value)) over the
+    * descending sort, which is tie-order-free because the sorted multiset
+    * is. All integers: no quantization grid needed. */
+  def kcore(rounds: Int): String = {
+    val base =
+      s"""e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+         | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+         | und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |   SELECT src, dst FROM e WHERE src <> dst
+         |   UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         | deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+         | c0 AS MATERIALIZED (SELECT v.id AS node,
+         |   CAST(coalesce(deg.deg, 0) AS DOUBLE) AS score FROM v LEFT JOIN deg ON v.id = deg.src)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""g$i AS (SELECT und.src AS gv, s.score AS ge,
+         |   row_number() OVER (PARTITION BY und.src ORDER BY s.score DESC) AS r
+         |   FROM und JOIN c${i - 1} s ON und.dst = s.node),
+         | h$i AS (SELECT gv, max(least(CAST(r AS DOUBLE), ge)) AS h FROM g$i GROUP BY 1),
+         | c$i AS MATERIALIZED (SELECT s.node, coalesce(h.h, ${dlit(0.0)}) AS score
+         |   FROM c${i - 1} s LEFT JOIN h$i h ON s.node = h.gv)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$steps
+       |SELECT node AS id, CAST(score AS INT) AS coreness FROM c$rounds""".stripMargin
+  }
+
   /** Shared HLL CTEs (functions/Sketch): edge-endpoint multiset -> mixer
     * hash -> (bucket, rho) -> per-bucket max. Integer-only up to `reg`. */
   private def hllCtes(p: Int, salt: Long): String = {

@@ -217,6 +217,11 @@ object SparkEntry {
         u => pmod(Dedup.polyHash(u), lit(257L)))
     }),
     // ---- text analysis -----------------------------------------------------
+    // k-core decomposition (r4): synchronous h-index rounds, integer-exact
+    "q_kcore" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      KCore.coreness(e, v, rounds = 8, tolerance = -1)
+    }),
     // HLL distinct-count sketch (r4): register table + estimate, both
     // hash-exact (integer registers; exact-integer harmonic sum, one
     // division, 1e-6 output grid) over the edge-endpoint multiset
@@ -385,6 +390,7 @@ object SparkEntry {
         |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
         |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch, count(*) AS n_events
         |FROM z GROUP BY user_id, sid""".stripMargin,
+    "q_kcore" -> OracleSql.kcore(rounds = 8),
     "q_hll_registers" -> OracleSql.hllRegisters(p = 8, salt = 42L),
     "q_hll_estimate" -> OracleSql.hllEstimate(p = 8, salt = 42L),
     "q_token_count" ->

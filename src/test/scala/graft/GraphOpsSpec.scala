@@ -216,4 +216,48 @@ class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet == Set(3L))
   }
+
+  // ---- k-core / coreness (operators/KCore) ------------------------------
+  /** Classic sequential peeling — the independent local coreness oracle:
+    * repeatedly remove a minimum-degree vertex; its coreness is the running
+    * max of the degree observed at removal time. */
+  private def localCoreness(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Int] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val adj = scala.collection.mutable.Map(nodes.map(n =>
+      n -> scala.collection.mutable.Set.empty[Long]): _*)
+    und.foreach { case (a, b) => adj(a) += b }
+    val core = scala.collection.mutable.Map.empty[Long, Int]
+    val alive = scala.collection.mutable.Set(nodes: _*)
+    var k = 0
+    while (alive.nonEmpty) {
+      val v = alive.minBy(n => (adj(n).size, n))
+      k = math.max(k, adj(v).size)
+      core(v) = k
+      alive -= v
+      adj(v).foreach(u => adj(u) -= v)
+      adj(v).clear()
+    }
+    core.toMap
+  }
+
+  test("kcore: h-index rounds converge to peeling coreness on random graphs") {
+    for (seed <- Seq(3L, 17L)) {
+      val es = randomGraph(40, 180, seed)
+      val nodes = 0L until 40L
+      val got = operators.KCore.coreness(edgesDf(es), verticesDf(nodes), rounds = 60)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == localCoreness(es, nodes), s"seed $seed")
+    }
+  }
+
+  test("kcore: closed forms — complete graph n-1, cycle 2, star/path 1, isolated 0") {
+    def run(es: Seq[(Long, Long)], nodes: Seq[Long]) =
+      operators.KCore.coreness(edgesDf(es), verticesDf(nodes), rounds = 30)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(run(complete(5), 0L until 5L).values.toSet == Set(4))
+    assert(run(cycle(7), 0L until 7L).values.toSet == Set(2))
+    assert(run(starOut(6), 0L to 6L).values.toSet == Set(1))
+    assert(run(Nil, Seq(9L)) == Map(9L -> 0))
+  }
 }
