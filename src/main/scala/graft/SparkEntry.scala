@@ -101,6 +101,10 @@ object SparkEntry {
     // ---- triangle count (degree-ordered orientation — the hub-skew-
     // minimizing default; id-ordered countAll is equivalence-tested) -------
     "q_triangle_count" -> ((s, dir) => Triangles.countByDegreeOrder(graph(s, dir)._1)),
+    "q_clustering_coeff" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      Triangles.clusteringCoefficient(e, v)
+    }),
     // ---- iterative graph operators -----------------------------------------
     // Verification configs are fully deterministic (tolerance = -1: never
     // converge early, include/grank.h:56-57) and run in fixed-point mode
@@ -368,6 +372,23 @@ object SparkEntry {
         |           FROM lineitem WHERE l_partkey <> l_suppkey)
         |SELECT count(*) AS n_triangles
         |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    "q_clustering_coeff" ->
+      """WITH e0 AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        | v AS (SELECT src AS id FROM e0 UNION SELECT dst AS id FROM e0),
+        | e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM e0 WHERE src <> dst),
+        | tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |          FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        | tv AS (SELECT id, count(*) AS t FROM (
+        |          SELECT unnest([x, y, z]) AS id FROM tri) GROUP BY 1),
+        | deg AS (SELECT id, count(*) AS d FROM (
+        |          SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+        |SELECT v.id,
+        |  CASE WHEN coalesce(deg.d, 0) >= 2
+        |       THEN 2.0 * coalesce(tv.t, 0) / (deg.d * (deg.d - 1))
+        |       ELSE 0.0 END AS coeff
+        |FROM v LEFT JOIN deg ON v.id = deg.id LEFT JOIN tv ON v.id = tv.id""".stripMargin,
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text",
     "q_doc_lengths" ->

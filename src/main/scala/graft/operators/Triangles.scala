@@ -76,6 +76,21 @@ object Triangles {
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per vertex: 2·T(v) / (deg(v)·(deg(v)−1))
+    * over the undirected simple graph; vertices with deg < 2 score 0.0.
+    * Integer triangle/degree counts feed ONE correctly-rounded IEEE
+    * division, so the result replays bit-exactly with no grid. */
+  def clusteringCoefficient(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val e = EdgeSource.canonical(edges)
+    val deg = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    perVertex(edges, vertices).join(deg, Seq("id"), "left")
+      .select(col("id"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          lit(2.0) * col("n_triangles") / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
   /** Degree-ordered orientation (hub-skew-minimizing): orient each edge from
     * the endpoint with (smaller degree, smaller id) to the other; count
     * closed wedges. Same count as [[countAll]], fewer intermediate wedges on

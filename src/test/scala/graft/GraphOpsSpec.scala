@@ -260,4 +260,17 @@ class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
     assert(run(starOut(6), 0L to 6L).values.toSet == Set(1))
     assert(run(Nil, Seq(9L)) == Map(9L -> 0))
   }
+
+  test("clustering coefficient: closed forms (complete 1.0, triangle+tail, path 0.0)") {
+    def run(es: Seq[(Long, Long)], nodes: Seq[Long]) =
+      Triangles.clusteringCoefficient(edgesDf(es), verticesDf(nodes))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(complete(4), 0L until 4L).values.toSet == Set(1.0))
+    // triangle 0-1-2 with tail 2-3: c(0)=c(1)=1, c(2)=2*1/(3*2)=1/3, c(3)=0
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val got = run(g, 0L until 4L)
+    assert(got(0L) == 1.0 && got(1L) == 1.0 && got(3L) == 0.0)
+    assert(math.abs(got(2L) - 1.0 / 3) < 1e-15)
+    assert(run(Seq((0L, 1L), (1L, 2L)), 0L until 3L).values.toSet == Set(0.0))
+  }
 }
