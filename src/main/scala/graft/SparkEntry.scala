@@ -21,6 +21,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  private val sessionizeOracle =
+    """WITH x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev FROM events),
+      | y AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END ns FROM x),
+      | z AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) sid FROM y)
+      |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+      |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch, count(*) AS n_events
+      |FROM z GROUP BY user_id, sid""".stripMargin
+
   private def graph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val edges = EdgeSource.fromLineitem(s, dir)
     (edges, EdgeSource.vertices(edges))
@@ -205,6 +213,15 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_value"))),
     "q_sessionize" -> ((s, dir) =>
       EventStream.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("start_epoch"),
+          unix_timestamp(col("session_end")).as("end_epoch"),
+          col("n_events"))),
+    // the same sessionization executed genuinely through readStream +
+    // flatMapGroupsWithState (StateStore, event-time timeouts, sentinel
+    // flush) and checked against the SAME oracle as the batch row
+    "q_sessionize_stream" -> ((s, dir) =>
+      EventStream.sessionizeStreamOnce(s, s"$dir/events.parquet", gapMinutes = 30)
         .select(col("user_id"),
           unix_timestamp(col("session_start")).as("start_epoch"),
           unix_timestamp(col("session_end")).as("end_epoch"),
@@ -404,13 +421,8 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch, event_type, count(*) AS n,
         |       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "q_sessionize" ->
-      """WITH x AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev FROM events),
-        | y AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END ns FROM x),
-        | z AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) sid FROM y)
-        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
-        |       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch, count(*) AS n_events
-        |FROM z GROUP BY user_id, sid""".stripMargin,
+    "q_sessionize" -> sessionizeOracle,
+    "q_sessionize_stream" -> sessionizeOracle, // same oracle, streaming path
     "q_kcore" -> OracleSql.kcore(rounds = 8),
     "q_hll_registers" -> OracleSql.hllRegisters(p = 8, salt = 42L),
     "q_hll_estimate" -> OracleSql.hllEstimate(p = 8, salt = 42L),

@@ -36,10 +36,13 @@ object KCore {
   def coreness(edges: DataFrame, vertices: DataFrame, rounds: Int,
       tolerance: Double = 0.5): DataFrame = {
     require(rounds > 0, "rounds must be > 0")
+    // loop-invariant: pre-partition on the join key (dst) once, so the
+    // per-round gather join re-shuffles only the state side, not 2|E| rows
     val und = edges.where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .union(edges.where(col("src") =!= col("dst")).select(col("dst"), col("src")))
       .distinct()
+      .repartition(col("dst"))
       .persist()
 
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))

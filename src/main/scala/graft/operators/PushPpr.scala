@@ -54,11 +54,15 @@ object PushPpr {
     require(iterations > 0, "iterations must be > 0")
     require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
 
+    // loop-invariant sides pre-partitioned on their join keys once: the
+    // per-superstep joins then re-shuffle only the (smaller) state side
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val adj = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(damping) / col("deg")).as("factor"))
+      .repartition(col("src"))
       .persist()
-    val degs = outdeg.select(col("src").as("node"), col("deg")).persist()
+    val degs = outdeg.select(col("src").as("node"), col("deg"))
+      .repartition(col("node")).persist()
 
     def qsum(c: String) =
       if (quantize > 0) (sum(round(col(c) * quantize).cast("long")) / quantize).as(c)

@@ -63,6 +63,42 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Execute the streaming [[sessionizeStream]] over a finite file source
+    * to completion (driver-oracle entry point, like
+    * [[windowedAggStreamOnce]]): stage the events parquet, run the
+    * flatMapGroupsWithState pipeline behind `readStream` (append-mode
+    * memory sink), then FLUSH the open sessions by appending two sentinel
+    * batches from a reserved user (-1) far past every real event — the
+    * first advances the event-time watermark beyond every open session's
+    * timeout, the second triggers the micro-batch in which those timeouts
+    * fire (watermarks bind one batch late by contract). The sentinel user
+    * is filtered from the result, which then equals batch sessionization
+    * on the same data and is checked against the SAME DuckDB oracle. */
+  def sessionizeStreamOnce(spark: SparkSession, eventsParquet: String,
+      gapMinutes: Int = 30, watermark: String = "2 hours"): DataFrame = {
+    val batch = spark.read.parquet(eventsParquet)
+    val schema = batch.schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-sess").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = sessionizeStream(spark.readStream.schema(schema).parquet(dir),
+      gapMinutes, watermark)
+    val name = s"graft_sessionize_stream_${sinkSeq.incrementAndGet()}"
+    val q = stream.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val top = batch.orderBy(col("ts").desc).limit(1).persist()
+      for (days <- Seq(100, 200)) {
+        top.withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
+          .withColumn("user_id", lit(-1L))
+          .write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      top.unpersist()
+    } finally q.stop()
+    spark.table(name).where(col("user_id") =!= -1L)
+  }
+
   /** Streaming exact dedup by event_id within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withColumn("ts", col("ts").cast("timestamp"))
@@ -92,6 +128,18 @@ object EventStream {
       .select("user_id", "session_start", "session_end", "n_events")
   }
 
+  // Session bounds are tracked in MICROSECONDS since the epoch — the events
+  // table carries microsecond timestamps, and java.sql.Timestamp.getTime
+  // alone (millis) would silently truncate session_start/session_end, which
+  // the batch path keeps exactly (caught by the driver-oracle compare).
+  private def toMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState (custom per-key
     * state: open session bounds + count; emits a session when the gap is
     * exceeded or the state times out at the watermark). */
@@ -99,7 +147,7 @@ object EventStream {
       watermark: String = "2 hours"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
 
     events.withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
@@ -112,17 +160,17 @@ object EventStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
+            Iterator.single(SessionOut(user, fromMicros(s.start), fromMicros(s.end), s.n))
           } else {
-            val ts = rows.map(_._2.getTime).toArray.sorted
+            val ts = rows.map(r => toMicros(r._2)).toArray.sorted
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             ts.foreach { t =>
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
+                case Some(s) if t - s.end <= gapUs =>
                   cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
                 case Some(s) =>
-                  closed ::= SessionOut(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  closed ::= SessionOut(user, fromMicros(s.start), fromMicros(s.end), s.n)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
@@ -130,7 +178,8 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // timeout API is millisecond-grained: round the micros gap UP
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000L + 1L)
             }
             closed.reverseIterator
           }

@@ -48,6 +48,16 @@ class StreamingSpec extends AnyFunSuite with GraphFixtures {
     assert(batch.exceptAll(got).count() == 0)
   }
 
+  test("sessionizeStreamOnce (driver-oracle entry point) equals batch incl. flushed open sessions") {
+    val pq = "/root/testdata/sf0.001/events.parquet"
+    val batch = EventStream.sessionizeBatch(spark.read.parquet(pq), gapMinutes = 30)
+    val got = EventStream.sessionizeStreamOnce(spark, pq, gapMinutes = 30)
+      .select("user_id", "session_start", "session_end", "n_events")
+    assert(got.count() == batch.count()) // open sessions WERE flushed
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
+
   test("dedupStream drops replayed event_ids") {
     val dir = Files.createTempDirectory("graft-events-dup").toString
     val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(100)
