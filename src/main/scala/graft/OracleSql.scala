@@ -284,6 +284,36 @@ object OracleSql {
        |SELECT node, score FROM p$iterations""".stripMargin
   }
 
+  /** WEIGHTED global PageRank (operators/PageRank with a `weight` edge
+    * column): push factor d * w(u,v) / sum_out w(u); edge weight =
+    * summed integer l_quantity per (partkey, suppkey) pair. Same teleport +
+    * uniform dangling redistribution and grid sums as the unweighted
+    * oracle. */
+  def pageRankWeighted(iterations: Int, damping: Double): String = {
+    val leakSum = gridSum("score")
+    val steps = (1 to iterations).map { i =>
+      s"""lk$i AS MATERIALIZED (SELECT coalesce($leakSum, ${dlit(0.0)}) AS leak
+         |   FROM p${i - 1} s LEFT JOIN ws ON s.node = ws.src WHERE ws.src IS NULL),
+         |p$i AS MATERIALIZED (SELECT node, ${gridSum("score")} AS score FROM (
+         |   SELECT v.id AS node, base1 + base2 * lk.leak AS score FROM v CROSS JOIN lk$i lk CROSS JOIN consts
+         |   UNION ALL
+         |   SELECT a.dst AS node, s.score * a.factor AS score
+         |   FROM p${i - 1} s JOIN adj a ON s.node = a.src)
+         | GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ew AS MATERIALIZED (SELECT l_partkey AS src, l_suppkey AS dst,
+       |   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2),
+       | v AS MATERIALIZED (SELECT src AS id FROM ew UNION SELECT dst AS id FROM ew),
+       | ws AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM ew GROUP BY 1),
+       | adj AS MATERIALIZED (SELECT ew.src, ew.dst, ${dlit(damping)} * ew.w / ws.wsum AS factor
+       |   FROM ew JOIN ws USING (src)),
+       | n1 AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       | consts AS MATERIALIZED (SELECT ${dlit(1.0 - damping)} / n AS base1, ${dlit(damping)} / n AS base2, n FROM n1),
+       | p0 AS MATERIALIZED (SELECT id AS node, ${dlit(1.0)} / n AS score FROM v CROSS JOIN consts),
+       |$steps
+       |SELECT node, score FROM p$iterations""".stripMargin
+  }
+
   /** Synchronous label propagation, fixed rounds, undirected closure
     * (operators/Components.labelPropagation): most frequent neighbor label,
     * ties -> smallest label, isolated vertices keep their label. */

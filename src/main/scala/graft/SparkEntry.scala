@@ -154,6 +154,15 @@ object SparkEntry {
       val (e, v) = graph(s, dir)
       PageRank.run(e, v, iterations = 40, tolerance = -1, quantize = 1e12)
     }),
+    // weighted variant (r4): edge weight = summed integer quantity per pair
+    // (stand-in for anchor-text / link-frequency weights on a web graph)
+    "q_pagerank_weighted" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+        .agg(sum(col("l_quantity").cast("long")).as("weight"))
+      PageRank.run(e, EdgeSource.vertices(e.select(col("src"), col("dst"))),
+        iterations = 15, tolerance = -1, quantize = 1e12)
+    }),
     "q_connected_components" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
       Components.connectedComponents(e, v)
@@ -469,6 +478,7 @@ object SparkEntry {
     "q_push_ppr" -> OracleSql.pushPpr(iterations = 8, rmax = 1e-4, damping = 0.85, nSeeds = 10),
     "q_grank" -> OracleSql.grank(k = 10, l = 20, iterations = 6, damping = 0.85),
     "q_pagerank" -> OracleSql.pageRank(iterations = 40, damping = 0.85),
+    "q_pagerank_weighted" -> OracleSql.pageRankWeighted(iterations = 15, damping = 0.85),
     "q_mc_ppr" -> OracleSql.mcPpr(k = 10, l = 20, r = 30, damping = 0.85, salt = 42L, maxSteps = 64),
     "q_mc_ppr_join" -> OracleSql.mcPpr(k = 10, l = 20, r = 30, damping = 0.85, salt = 42L, maxSteps = 64),
     "q_label_propagation" -> OracleSql.labelPropagation(rounds = 4),

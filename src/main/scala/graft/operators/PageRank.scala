@@ -52,14 +52,25 @@ object PageRank {
         vertices.select(lit(0L).as("seed"), col("id").as("node"), lit(0.0).as("score")),
         Vector.empty)
 
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val adj = edges.join(outdeg, "src")
-      .select(col("src"), col("dst"), (lit(damping) / col("outdeg")).as("factor"))
+    // WEIGHTED variant (anchor-text / link-frequency weights on a web
+    // graph): if the edge relation carries a `weight` column, the push
+    // factor becomes d * w(u,v) / sum_out w(u) instead of d / outdeg(u).
+    // Integer weights keep the factor a single exact-operand IEEE
+    // division, so the weighted oracle replays hash-exactly too.
+    val weighted = edges.columns.contains("weight")
+    val pos = if (weighted) edges.where(col("weight") > 0) else edges
+    val srcNorm =
+      if (weighted) pos.groupBy(col("src")).agg(sum(col("weight")).as("norm"))
+      else pos.groupBy(col("src")).agg(count(lit(1)).as("norm"))
+    val adj = pos.join(srcNorm, "src")
+      .select(col("src"), col("dst"),
+        (if (weighted) lit(damping) * col("weight") / col("norm")
+         else lit(damping) / col("norm")).as("factor"))
       .persist()
-    // dangling (outdeg-0) vertex set, computed once — the per-superstep leak
-    // aggregate only semi-joins against THIS (usually small) relation
-    // instead of the full degree table
-    val dangling = vertices.join(outdeg, vertices("id") === outdeg("src"), "left_anti")
+    // dangling (no positive-outgoing-mass) vertex set, computed once — the
+    // per-superstep leak aggregate only semi-joins against THIS (usually
+    // small) relation instead of the full degree table
+    val dangling = vertices.join(srcNorm, vertices("id") === srcNorm("src"), "left_anti")
       .select(col("id")).persist()
 
     val init = vertices.select(lit(0L).as("seed"), col("id").as("node"),

@@ -273,4 +273,26 @@ class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
     assert(math.abs(got(2L) - 1.0 / 3) < 1e-15)
     assert(run(Seq((0L, 1L), (1L, 2L)), 0L until 3L).values.toSet == Set(0.0))
   }
+
+  test("pagerank weighted: equal weights are bit-identical to unweighted; skew shifts mass") {
+    val es = randomGraph(20, 70, seed = 21)
+    val vids = 0L until 20L
+    val s2 = spark
+    import s2.implicits._
+    val flat = es.map { case (a, b) => (a, b, 7L) }.toDF("src", "dst", "weight")
+    val a = PageRank.run(edgesDf(es), verticesDf(vids), 12, 0.85, -1, quantize = 1e12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = PageRank.run(flat, verticesDf(vids), 12, 0.85, -1, quantize = 1e12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // factor 0.85*7/(7k) vs 0.85/k may differ in the last ulp; the
+    // fixed-point grid absorbs that, so equality here is exact
+    assert(a == b)
+    // skewed: 0 -> 1 (w 3) vs 0 -> 2 (w 1); 1,2 -> back to 0
+    val skew = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "weight")
+    val pr = PageRank.run(skew, verticesDf(Seq(0L, 1L, 2L)), 100, 0.85, 1e-12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(1L) > pr(2L), s"weight-3 edge target must outrank weight-1: $pr")
+  }
 }
