@@ -33,7 +33,8 @@ object Bench {
     * round-over-round comparable on the original 16-query set. */
   private val extra = Seq(
     "q_push_ppr", "q_kcore", "q_clustering_coeff", "q_hll_estimate",
-    "q_ann_ivf", "q_two_coloring_contract")
+    "q_ann_ivf", "q_two_coloring_contract", "q_pagerank_weighted",
+    "q_sessionize_stream")
 
   private def session(cores: Int, shufflePartitions: Int): SparkSession = {
     new java.io.File("/dev/shm/graft-spark").mkdirs()
