@@ -66,7 +66,13 @@ object ScaleSuite {
           iterations = 10, tolerance = -1)),
         "cc_star" -> (() => Components.connectedComponentsStar(edges, vertices)),
         "label_prop_r4" -> (() => Components.labelPropagation(edges, vertices, rounds = 4)),
-        "two_coloring_contract" -> (() => Components.twoColoringContract(edges, vertices)))
+        "two_coloring_contract" -> (() => Components.twoColoringContract(edges, vertices)),
+        // round-4 additions: fixed rounds, same reasoning as above
+        "kcore_r8" -> (() => KCore.coreness(edges, vertices, rounds = 8, tolerance = -1)),
+        "push_ppr_i8" -> (() => PushPpr.run(edges,
+          vertices.orderBy(col("id")).limit(10), rmax = 1e-4, iterations = 8,
+          damping = 0.85, tolerance = -1).state),
+        "clustering_coeff" -> (() => Triangles.clusteringCoefficient(edges, vertices)))
 
       val walls = suite.map { case (name, fn) =>
         val t0 = System.nanoTime()
