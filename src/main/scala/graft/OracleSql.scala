@@ -94,6 +94,41 @@ object OracleSql {
        |SELECT node AS id, CAST(score AS INT) AS coreness FROM c$rounds""".stripMargin
   }
 
+  /** HyperBall (operators/HyperBall): per-vertex HLL registers of the
+    * forward ball, `rounds` unrolled max-merge supersteps, then the
+    * per-vertex estimate (same math as the global HLL estimate). Register
+    * state is all integers — hash-exact with no grid. */
+  def hyperball(rounds: Int, p: Int, salt: Long): String = {
+    val m = 1 << p
+    val alpha = graft.functions.Sketch.alphaFor(m)
+    val mix = graft.kernels.Mix.sql("id", "0", "1", salt)
+    val steps = (1 to rounds).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT id, bucket, max(rho) AS rho FROM (
+         |   SELECT id, bucket, rho FROM r${i - 1}
+         |   UNION ALL
+         |   SELECT e.src AS id, s.bucket, s.rho FROM e JOIN r${i - 1} s ON e.dst = s.id)
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       | hx AS MATERIALIZED (SELECT id, ($mix) AS h FROM v),
+       | r0 AS MATERIALIZED (SELECT id, CAST(h % $m AS INT) AS bucket,
+       |   CAST(${31 - p + 1} - length(ltrim(bin(h >> $p), '0')) AS INT) AS rho FROM hx),
+       |$steps,
+       | agg AS (SELECT id, count(*) AS filled,
+       |   CAST(sum(CAST(power(2, 32 - rho) AS BIGINT)) AS BIGINT) AS sumnon
+       |   FROM r$rounds GROUP BY 1),
+       | t AS (SELECT id, filled, $m - filled AS zeros,
+       |   sumnon + ($m - filled) * 4294967296 AS sumint FROM agg),
+       | u AS (SELECT id, filled, zeros,
+       |   ${dlit(alpha)} * ${dlit(m.toDouble)} * ${dlit(m.toDouble)} * 4294967296.0 / sumint AS raw
+       |   FROM t)
+       |SELECT id, round((CASE WHEN raw <= ${dlit(2.5 * m)} AND zeros > 0
+       |    THEN ${dlit(m.toDouble)} * ln(${dlit(m.toDouble)} / zeros) ELSE raw END) * 1e6) / 1e6 AS est,
+       |  filled
+       |FROM u""".stripMargin
+  }
+
   /** Shared HLL CTEs (functions/Sketch): edge-endpoint multiset -> mixer
     * hash -> (bucket, rho) -> per-bucket max. Integer-only up to `reg`. */
   private def hllCtes(p: Int, salt: Long): String = {

@@ -247,6 +247,12 @@ object SparkEntry {
         u => pmod(Dedup.polyHash(u), lit(257L)))
     }),
     // ---- text analysis -----------------------------------------------------
+    // HyperBall (r4): per-vertex forward-ball HLL registers, 4 max-merge
+    // rounds, per-vertex size estimate — integer state, hash-exact
+    "q_hyperball" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      HyperBall.neighborhood(e, v, rounds = 4, p = 6, salt = 42L)
+    }),
     // k-core decomposition (r4): synchronous h-index rounds, integer-exact
     "q_kcore" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
@@ -433,6 +439,7 @@ object SparkEntry {
     "q_sessionize" -> sessionizeOracle,
     "q_sessionize_stream" -> sessionizeOracle, // same oracle, streaming path
     "q_kcore" -> OracleSql.kcore(rounds = 8),
+    "q_hyperball" -> OracleSql.hyperball(rounds = 4, p = 6, salt = 42L),
     "q_hll_registers" -> OracleSql.hllRegisters(p = 8, salt = 42L),
     "q_hll_estimate" -> OracleSql.hllEstimate(p = 8, salt = 42L),
     "q_token_count" ->

@@ -59,4 +59,41 @@ class SketchSpec extends AnyFunSuite with GraphFixtures {
     val e13 = Sketch.hllEstimate(regs(13), 8).head().getDouble(0)
     assert(e1 == e13) // exact-integer harmonic sum: bit-equal, not just close
   }
+
+  // ---- HyperBall (operators/HyperBall: HLL x iterative engine) ----------
+  /** local forward-reachability closure (BFS) */
+  private def reach(edges: Seq[(Long, Long)], from: Long): Set[Long] = {
+    val succ = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var seen = Set(from); var frontier = List(from)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(n => succ.getOrElse(n, Nil)).filterNot(seen)
+      seen ++= next; frontier = next.distinct
+    }
+    seen
+  }
+
+  test("hyperball: fixpoint registers equal the plain HLL sketch of the exact reachable set") {
+    val es = randomGraph(30, 80, seed = 9)
+    val regs = graft.operators.HyperBall.registers(
+      edgesDf(es), verticesDf(0L until 30L), rounds = 40, p = 6)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getInt(1), r.getInt(2))).toSet }
+    for (v <- Seq(0L, 7L, 19L)) {
+      val expected = Sketch.hllRegisters(longs(reach(es, v).toSeq), "v", p = 6)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(regs(v) == expected, s"vertex $v")
+    }
+  }
+
+  test("hyperball: ball estimates track exact ball sizes on a path graph") {
+    // path 0 -> 1 -> ... -> 9: ball_3(v) has exactly min(10 - v, 4) nodes
+    val es = (0L until 9L).map(i => (i, i + 1))
+    val est = graft.operators.HyperBall.neighborhood(
+      edgesDf(es), verticesDf(0L until 10L), rounds = 3, p = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (v <- 0L until 10L) {
+      val exact = math.min(10 - v, 4).toDouble
+      assert(math.abs(est(v) - exact) / exact < 0.25, s"v=$v est=${est(v)} exact=$exact")
+    }
+  }
 }
