@@ -113,6 +113,8 @@ object SparkEntry {
       val (e, v) = graph(s, dir)
       Triangles.clusteringCoefficient(e, v)
     }),
+    "q_reciprocity" -> ((s, dir) => GraphStats.reciprocity(graph(s, dir)._1)),
+    "q_transitivity" -> ((s, dir) => GraphStats.transitivity(graph(s, dir)._1)),
     // ---- iterative graph operators -----------------------------------------
     // Verification configs are fully deterministic (tolerance = -1: never
     // converge early, include/grank.h:56-57) and run in fixed-point mode
@@ -421,6 +423,25 @@ object SparkEntry {
         |       THEN 2.0 * coalesce(tv.t, 0) / (deg.d * (deg.d - 1))
         |       ELSE 0.0 END AS coeff
         |FROM v LEFT JOIN deg ON v.id = deg.id LEFT JOIN tv ON v.id = tv.id""".stripMargin,
+    "q_reciprocity" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem
+        |           WHERE l_partkey <> l_suppkey),
+        | m AS (SELECT count(*) AS n_reciprocal FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src),
+        | d AS (SELECT count(*) AS n_directed FROM e)
+        |SELECT n_directed, n_reciprocal,
+        |  CAST(n_reciprocal AS DOUBLE) / n_directed AS reciprocity
+        |FROM d CROSS JOIN m""".stripMargin,
+    "q_transitivity" ->
+      """WITH e AS (SELECT DISTINCT least(l_partkey, l_suppkey) AS a, greatest(l_partkey, l_suppkey) AS b
+        |           FROM lineitem WHERE l_partkey <> l_suppkey),
+        | deg AS (SELECT id, count(*) AS d FROM (
+        |          SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        | w AS (SELECT CAST(sum(d * (d - 1)) AS BIGINT) // 2 AS n_wedges FROM deg),
+        | t AS (SELECT count(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0 THEN CAST(3 * n_triangles AS DOUBLE) / n_wedges ELSE 0.0 END AS transitivity
+        |FROM w CROSS JOIN t""".stripMargin,
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text",
     "q_doc_lengths" ->

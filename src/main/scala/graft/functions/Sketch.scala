@@ -54,30 +54,39 @@ object Sketch {
     else if (m == 32) 0.697
     else 0.673
 
-  /** One-row estimate (est DOUBLE on a 1e-6 grid, filled BIGINT) from a
-    * register table. The harmonic sum is computed as exact integers —
-    * sum(2^(32-rho)) plus 2^32 per empty bucket, every term and the total
-    * below 2^53 — so it is addend-order-free; the one floating division
-    * happens once, and the published small-range correction (linear counting
-    * over empty buckets when raw <= 2.5m) branches on those exact values, so
-    * an external replay takes the same branch. */
-  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+  /** Estimate (est DOUBLE on a 1e-6 grid, filled BIGINT) per `keys` group
+    * of a register table — one global row when `keys` is empty, one row
+    * per group otherwise (HyperBall estimates per vertex this way). The
+    * harmonic sum is computed as exact integers — sum(2^(32-rho)) plus
+    * 2^32 per empty bucket, every term and the total below 2^53 — so it is
+    * addend-order-free; the one floating division happens once, and the
+    * published small-range correction (linear counting over empty buckets
+    * when raw <= 2.5m) branches on those exact values, so an external
+    * replay takes the same branch. */
+  private[graft] def estimateFrom(registers: DataFrame, p: Int,
+      keys: Seq[String]): DataFrame = {
     val m = 1 << p
     val alpha = alphaFor(m)
+    val kc = keys.map(col)
     registers
+      .groupBy(kc: _*)
       .agg(count(lit(1)).as("filled"),
         sum(expr("CAST(power(2, 32 - rho) AS BIGINT)")).as("sumNon"))
-      .select(col("filled"), (lit(m.toLong) - col("filled")).as("zeros"),
-        (col("sumNon") + (lit(m.toLong) - col("filled")) * lit(4294967296L)).as("sumint"))
-      .select(col("filled"), col("zeros"),
+      .select(kc ++ Seq(col("filled"), (lit(m.toLong) - col("filled")).as("zeros"),
+        (col("sumNon") + (lit(m.toLong) - col("filled")) * lit(4294967296L)).as("sumint")): _*)
+      .select(kc ++ Seq(col("filled"), col("zeros"),
         (lit(alpha) * lit(m.toDouble) * lit(m.toDouble) * lit(4294967296.0) /
-          col("sumint")).as("raw"))
-      .select(
+          col("sumint")).as("raw")): _*)
+      .select(kc ++ Seq(
         (round(when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
           .otherwise(col("raw")) * lit(1e6)) / 1e6).as("est"),
-        col("filled"))
+        col("filled")): _*)
   }
+
+  /** One-row global estimate from a register table. */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame =
+    estimateFrom(registers, p, Nil)
 
   /** Convenience: sketch + estimate in one call. */
   def approxDistinct(values: DataFrame, valueCol: String, p: Int = 8,

@@ -63,27 +63,10 @@ object HyperBall {
       col("score").cast("int").as("rho"))
   }
 
-  /** Per-vertex ball-size estimates from a register table: (id, est DOUBLE
-    * on the 1e-6 grid, filled). Same exact-integer harmonic sum +
-    * linear-counting branch as Sketch.hllEstimate, applied per vertex. */
-  def estimates(registers: DataFrame, p: Int): DataFrame = {
-    val m = 1 << p
-    val alpha = graft.functions.Sketch.alphaFor(m)
-    registers
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("filled"),
-        sum(expr("CAST(power(2, 32 - rho) AS BIGINT)")).as("sumNon"))
-      .select(col("id"), col("filled"), (lit(m.toLong) - col("filled")).as("zeros"),
-        (col("sumNon") + (lit(m.toLong) - col("filled")) * lit(4294967296L)).as("sumint"))
-      .select(col("id"), col("filled"), col("zeros"),
-        (lit(alpha) * lit(m.toDouble) * lit(m.toDouble) * lit(4294967296.0) /
-          col("sumint")).as("raw"))
-      .select(col("id"),
-        (round(when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
-          .otherwise(col("raw")) * lit(1e6)) / 1e6).as("est"),
-        col("filled"))
-  }
+  /** Per-vertex ball-size estimates: (id, est DOUBLE on the 1e-6 grid,
+    * filled) — Sketch's shared estimate math, grouped per vertex. */
+  def estimates(registers: DataFrame, p: Int): DataFrame =
+    graft.functions.Sketch.estimateFrom(registers, p, Seq("id"))
 
   /** Convenience: ball_rounds size estimate per vertex. */
   def neighborhood(edges: DataFrame, vertices: DataFrame, rounds: Int,

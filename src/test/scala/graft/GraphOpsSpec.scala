@@ -295,4 +295,22 @@ class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
     assert(math.abs(pr.values.sum - 1.0) < 1e-9)
     assert(pr(1L) > pr(2L), s"weight-3 edge target must outrank weight-1: $pr")
   }
+
+  test("graph stats: reciprocity and transitivity closed forms") {
+    import graft.operators.GraphStats
+    // 0<->1 mutual, 0->2 one-way: reciprocity = 2/3
+    val r = GraphStats.reciprocity(edgesDf(Seq((0L, 1L), (1L, 0L), (0L, 2L))))
+      .head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 2.0 / 3) < 1e-15)
+    // complete graph K4: every wedge closes -> transitivity 1.0
+    val t1 = GraphStats.transitivity(edgesDf(complete(4))).head()
+    assert(t1.getDouble(2) == 1.0)
+    // path 0-1-2: one wedge, no triangle -> 0.0; star: 0.0
+    assert(GraphStats.transitivity(edgesDf(Seq((0L, 1L), (1L, 2L)))).head().getDouble(2) == 0.0)
+    // triangle + tail: wedges = C(2,2)*2 + C(3,2) = 1+1+3 = 5, T = 1 -> 3/5
+    val t2 = GraphStats.transitivity(edgesDf(Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)))).head()
+    assert(t2.getLong(0) == 5L && t2.getLong(1) == 1L)
+    assert(math.abs(t2.getDouble(2) - 0.6) < 1e-15)
+  }
 }
