@@ -66,6 +66,20 @@ object OracleSql {
        |${pprChain(iterations, damping, "seeds", "s")}
        |SELECT seed, node, score FROM s$iterations""".stripMargin
 
+  /** WEIGHTED exact PPR: same power-iteration chain over a weighted
+    * adjacency (factor d*w/sum_out w, weight = summed integer l_quantity
+    * per pair — the contract of OracleSql.pageRankWeighted). */
+  def exactPprWeighted(iterations: Int, damping: Double, nSeeds: Int): String =
+    s"""WITH ew AS MATERIALIZED (SELECT l_partkey AS src, l_suppkey AS dst,
+       |   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2),
+       | v AS MATERIALIZED (SELECT src AS id FROM ew UNION SELECT dst AS id FROM ew),
+       | ws AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM ew GROUP BY 1),
+       | adj AS MATERIALIZED (SELECT ew.src, ew.dst, ${dlit(damping)} * ew.w / ws.wsum AS factor
+       |   FROM ew JOIN ws USING (src)),
+       | seeds AS MATERIALIZED (SELECT id FROM v ORDER BY id LIMIT $nSeeds),
+       |${pprChain(iterations, damping, "seeds", "s")}
+       |SELECT seed, node, score FROM s$iterations""".stripMargin
+
   /** Synchronous h-index coreness (operators/KCore): estimates start at the
     * undirected degree; each round replaces a vertex's value with the
     * h-index of its neighbors' values — max(least(rank, value)) over the

@@ -133,6 +133,16 @@ object SparkEntry {
       PushPpr.run(e, seeds, rmax = 1e-4, iterations = 8, damping = 0.85,
         tolerance = -1, quantize = 1e12).state
     }),
+    // weighted personalized PPR (r4): same weighting contract as
+    // q_pagerank_weighted, on the exact power-iteration engine
+    "q_exact_ppr_weighted" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+        .agg(sum(col("l_quantity").cast("long")).as("weight"))
+      val v = EdgeSource.vertices(e.select(col("src"), col("dst")))
+      ExactPpr.run(e, v.orderBy(col("id")).limit(10), iterations = 10,
+        damping = 0.85, tolerance = -1, quantize = 1e12)
+    }),
     "q_grank" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
       GRank.run(e, v, PprConfig(K = 10, L = 20, iterations = 6, tolerance = -1,
@@ -504,6 +514,7 @@ object SparkEntry {
     // ---- iterative operators: unrolled-CTE oracles (fixed-point mode) -----
     "q_exact_ppr" -> OracleSql.exactPpr(iterations = 15, damping = 0.85, nSeeds = 10),
     "q_push_ppr" -> OracleSql.pushPpr(iterations = 8, rmax = 1e-4, damping = 0.85, nSeeds = 10),
+    "q_exact_ppr_weighted" -> OracleSql.exactPprWeighted(iterations = 10, damping = 0.85, nSeeds = 10),
     "q_grank" -> OracleSql.grank(k = 10, l = 20, iterations = 6, damping = 0.85),
     "q_pagerank" -> OracleSql.pageRank(iterations = 40, damping = 0.85),
     "q_pagerank_weighted" -> OracleSql.pageRankWeighted(iterations = 15, damping = 0.85),

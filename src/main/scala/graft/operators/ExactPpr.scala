@@ -31,10 +31,19 @@ object ExactPpr {
     require(iterations > 0, "iterations must be > 0")
     require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
 
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // adjacency with the push factor d/outdeg(src), reused every superstep
-    val adj = edges.join(outdeg, "src")
-      .select(col("src"), col("dst"), (lit(damping) / col("outdeg")).as("factor"))
+    // a `weight` edge column switches the push factor to d*w(u,v)/sum_out w(u)
+    // (same weighting contract as PageRank; integer weights keep the factor
+    // a single exact-operand IEEE division for hash-exact oracle replay)
+    val weighted = edges.columns.contains("weight")
+    val pos = if (weighted) edges.where(col("weight") > 0) else edges
+    val srcNorm =
+      if (weighted) pos.groupBy(col("src")).agg(sum(col("weight")).as("norm"))
+      else pos.groupBy(col("src")).agg(count(lit(1)).as("norm"))
+    // adjacency with the push factor, reused every superstep
+    val adj = pos.join(srcNorm, "src")
+      .select(col("src"), col("dst"),
+        (if (weighted) lit(damping) * col("weight") / col("norm")
+         else lit(damping) / col("norm")).as("factor"))
       .persist()
 
     val init = seeds.select(col("id").as("seed"), col("id").as("node"), lit(1.0).as("score"))

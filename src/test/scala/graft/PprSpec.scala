@@ -235,4 +235,20 @@ class PprSpec extends AnyFunSuite with GraphFixtures {
       .state.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
     assert(run(1) == run(7))
   }
+
+  test("exactPpr weighted: equal weights bit-identical to unweighted on the grid; skew shifts mass") {
+    val s2 = spark
+    import s2.implicits._
+    val es = randomGraph(15, 50, seed = 33)
+    val flat = es.map { case (a, b) => (a, b, 5L) }.toDF("src", "dst", "weight")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      baskets(df)
+    val a = m(ExactPpr.run(edgesDf(es), verticesDf(Seq(2L)), 10, 0.85, -1, quantize = 1e12))
+    val b = m(ExactPpr.run(flat, verticesDf(Seq(2L)), 10, 0.85, -1, quantize = 1e12))
+    assert(a == b)
+    // seed 0 -> 1 (w 9) / 0 -> 2 (w 1): basket mass follows the weights
+    val skew = Seq((0L, 1L, 9L), (0L, 2L, 1L)).toDF("src", "dst", "weight")
+    val got = m(ExactPpr.run(skew, verticesDf(Seq(0L)), 50, 0.85, 1e-12))(0L)
+    assert(math.abs(got(1L) / got(2L) - 9.0) < 1e-9, s"$got")
+  }
 }
