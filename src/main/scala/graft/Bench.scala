@@ -35,7 +35,9 @@ object Bench {
     "q_push_ppr", "q_kcore", "q_clustering_coeff", "q_hll_estimate",
     "q_ann_ivf", "q_two_coloring_contract", "q_pagerank_weighted",
     "q_sessionize_stream", "q_hyperball", "q_reciprocity", "q_transitivity",
-    "q_exact_ppr_weighted")
+    "q_exact_ppr_weighted",
+    // round-5 additions
+    "q_grank_weighted", "q_push_ppr_weighted", "q_ann_recall")
 
   private def session(cores: Int, shufflePartitions: Int): SparkSession = {
     new java.io.File("/dev/shm/graft-spark").mkdirs()

@@ -40,6 +40,20 @@ object OracleSql {
        | od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
        | adj AS MATERIALIZED (SELECT e.src, e.dst, ${dlit(damping)} / od.outdeg AS factor FROM e JOIN od USING (src))""".stripMargin
 
+  /** WEIGHTED variant of [[graphCtes]]: edge weight = summed integer
+    * l_quantity per (partkey, suppkey) pair, factor d*w/sum_out w (the
+    * engine's shared weight contract). Defines the same CTE names
+    * (`v`, `od`, `adj`) as the unweighted prefix so the iterative chains
+    * compose with either. */
+  private def weightedGraphCtes(damping: Double): String =
+    s"""ew AS MATERIALIZED (SELECT l_partkey AS src, l_suppkey AS dst,
+       |   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2),
+       | v AS MATERIALIZED (SELECT src AS id FROM ew UNION SELECT dst AS id FROM ew),
+       | od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM ew GROUP BY 1),
+       | ws AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM ew GROUP BY 1),
+       | adj AS MATERIALIZED (SELECT ew.src, ew.dst, ${dlit(damping)} * ew.w / ws.wsum AS factor
+       |   FROM ew JOIN ws USING (src))""".stripMargin
+
   /** Exact PPR power iteration (include/internal/pprSingleSource.h:29-75),
     * `iterations` unrolled supersteps, never converging early (the Spark
     * query runs tolerance = -1), dangling mass deliberately leaking. */
@@ -187,7 +201,17 @@ object OracleSql {
     * residual crosses rmax·outdeg fire (danglings always fire and leak the
     * damping share), firing converts (1−d)·residual into score and scatters
     * residual·factor along adj; grid-sums make both columns order-exact. */
-  def pushPpr(iterations: Int, rmax: Double, damping: Double, nSeeds: Int): String = {
+  def pushPpr(iterations: Int, rmax: Double, damping: Double, nSeeds: Int): String =
+    pushPprOver(graphCtes(damping), iterations, rmax, damping, nSeeds)
+
+  /** Push PPR over the WEIGHTED adjacency: factor d*w/sum_out w, fire
+    * threshold unchanged (count-based outdeg — the work bound is per
+    * out-edge; see operators/PushPpr). */
+  def pushPprWeighted(iterations: Int, rmax: Double, damping: Double, nSeeds: Int): String =
+    pushPprOver(weightedGraphCtes(damping), iterations, rmax, damping, nSeeds)
+
+  private def pushPprOver(ctes: String, iterations: Int, rmax: Double,
+      damping: Double, nSeeds: Int): String = {
     val tele = dlit(1.0 - damping)
     val init =
       s"""p0 AS MATERIALIZED (SELECT id AS seed, id AS node,
@@ -207,7 +231,7 @@ object OracleSql {
          |     FROM f$i f JOIN adj a ON f.node = a.src WHERE f.fires)
          |   GROUP BY 1, 2) WHERE score != 0 OR residual != 0)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${graphCtes(damping)},
+    s"""WITH $ctes,
        | seeds AS MATERIALIZED (SELECT id FROM v ORDER BY id LIMIT $nSeeds),
        |$init,
        |$steps
@@ -243,6 +267,15 @@ object OracleSql {
 
   def grank(k: Int, l: Int, iterations: Int, damping: Double): String =
     s"""WITH ${graphCtes(damping)},
+       |${grankCtes(l, iterations, damping)}
+       |SELECT seed, node, score FROM s$iterations
+       |QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $k""".stripMargin
+
+  /** GRank over the WEIGHTED adjacency (operators/GRank with a `weight`
+    * edge column): the same unrolled gather/teleport/prune chain — the
+    * one-hop init scatter and every gather use factor d*w/sum_out w. */
+  def grankWeighted(k: Int, l: Int, iterations: Int, damping: Double): String =
+    s"""WITH ${weightedGraphCtes(damping)},
        |${grankCtes(l, iterations, damping)}
        |SELECT seed, node, score FROM s$iterations
        |QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $k""".stripMargin
@@ -600,6 +633,39 @@ object OracleSql {
        |   FROM probes p JOIN inv i ON p.cell = i.cell WHERE p.seed <> i.node)
        |SELECT seed, node FROM sc
        |QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $k""".stripMargin
+  }
+
+  /** ANN recall@k report (functions/Similarity.recallAtK over lshTopK +
+    * ivfTopK vs bruteForceTopK): the three pipelines are replayed in full
+    * (nested-WITH copies of the annLsh / annIvf oracles and the exact
+    * brute-force scorer), per-seed hit counts stay exact integers, and each
+    * metric is ONE floating division — bit-exact with no rounding. */
+  def annRecall(k: Int, planes: Int, seedSalt: Long, queryBound: Int,
+      nCells: Int, nProbe: Int, dims: Int): String = {
+    val brute =
+      s"""WITH scored AS (
+         | SELECT q.vec_id AS seed, c.vec_id AS node,
+         |   list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS score
+         | FROM embeddings q JOIN embeddings c ON q.vec_id < $queryBound AND q.vec_id <> c.vec_id)
+         |SELECT seed, node FROM (
+         | SELECT seed, node, row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) rn
+         | FROM scored) WHERE rn <= $k""".stripMargin
+    s"""WITH ex AS MATERIALIZED ($brute),
+       | al AS MATERIALIZED (${annLsh(k, planes, seedSalt, queryBound)}),
+       | ai AS MATERIALIZED (${annIvf(k, nCells, nProbe, dims, seedSalt, queryBound)}),
+       | sds AS (SELECT DISTINCT seed FROM ex),
+       | hl AS (SELECT e.seed, count(*) AS h FROM ex e JOIN al a ON e.seed = a.seed AND e.node = a.node GROUP BY 1),
+       | hi AS (SELECT e.seed, count(*) AS h FROM ex e JOIN ai a ON e.seed = a.seed AND e.node = a.node GROUP BY 1),
+       | pl AS (SELECT s.seed, coalesce(h, 0) AS h FROM sds s LEFT JOIN hl USING (seed)),
+       | pi AS (SELECT s.seed, coalesce(h, 0) AS h FROM sds s LEFT JOIN hi USING (seed)),
+       | rl AS (SELECT 'lsh' AS method, count(*) AS n_seeds,
+       |   CAST(sum(h) AS BIGINT) AS hits, CAST(min(h) AS BIGINT) AS min_hits FROM pl),
+       | ri AS (SELECT 'ivf' AS method, count(*) AS n_seeds,
+       |   CAST(sum(h) AS BIGINT) AS hits, CAST(min(h) AS BIGINT) AS min_hits FROM pi)
+       |SELECT method, n_seeds, hits,
+       |  CAST(hits AS DOUBLE) / (n_seeds * $k) AS avg_recall,
+       |  CAST(min_hits AS DOUBLE) / $k AS min_recall
+       |FROM (SELECT * FROM rl UNION ALL SELECT * FROM ri)""".stripMargin
   }
 
   /** Shared CTE prefix of the threshold-0.7 near-dup oracles: the planted

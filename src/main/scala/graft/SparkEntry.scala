@@ -34,6 +34,14 @@ object SparkEntry {
     (edges, EdgeSource.vertices(edges))
   }
 
+  /** Weighted edge table: weight = summed integer l_quantity per pair
+    * (stand-in for anchor-text / link-frequency weights on a web graph) —
+    * the shared input of every *_weighted driver row. */
+  private def weightedEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      .agg(sum(col("l_quantity").cast("long")).as("weight"))
+
   /** documents with a planted exact duplicate of every row (id + 1e6) —
     * the deterministic corpus the near-dup operators are exercised on. */
   private def dupDocs(s: SparkSession, dir: String): DataFrame = {
@@ -136,9 +144,7 @@ object SparkEntry {
     // weighted personalized PPR (r4): same weighting contract as
     // q_pagerank_weighted, on the exact power-iteration engine
     "q_exact_ppr_weighted" -> ((s, dir) => {
-      val e = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
-        .agg(sum(col("l_quantity").cast("long")).as("weight"))
+      val e = weightedEdges(s, dir)
       val v = EdgeSource.vertices(e.select(col("src"), col("dst")))
       ExactPpr.run(e, v.orderBy(col("id")).limit(10), iterations = 10,
         damping = 0.85, tolerance = -1, quantize = 1e12)
@@ -147,6 +153,22 @@ object SparkEntry {
       val (e, v) = graph(s, dir)
       GRank.run(e, v, PprConfig(K = 10, L = 20, iterations = 6, tolerance = -1,
         topLStrategy = "window", quantize = 1e12))
+    }),
+    // weighted contract on the all-sources engine (r5): factor
+    // d*w(s,dst)/sum_out w(s) drives the one-hop init AND every gather
+    "q_grank_weighted" -> ((s, dir) => {
+      val e = weightedEdges(s, dir)
+      GRank.run(e, EdgeSource.vertices(e.select(col("src"), col("dst"))),
+        PprConfig(K = 10, L = 20, iterations = 6, tolerance = -1,
+          topLStrategy = "window", quantize = 1e12))
+    }),
+    // weighted contract on the per-seed scale path (r5): push now accepts
+    // anchor-text-style weights too — fire threshold stays count-based
+    "q_push_ppr_weighted" -> ((s, dir) => {
+      val e = weightedEdges(s, dir)
+      val v = EdgeSource.vertices(e.select(col("src"), col("dst")))
+      PushPpr.run(e, v.orderBy(col("id")).limit(10), rmax = 1e-4, iterations = 8,
+        damping = 0.85, tolerance = -1, quantize = 1e12).state
     }),
     "q_mc_ppr" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
@@ -169,9 +191,7 @@ object SparkEntry {
     // weighted variant (r4): edge weight = summed integer quantity per pair
     // (stand-in for anchor-text / link-frequency weights on a web graph)
     "q_pagerank_weighted" -> ((s, dir) => {
-      val e = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
-        .agg(sum(col("l_quantity").cast("long")).as("weight"))
+      val e = weightedEdges(s, dir)
       PageRank.run(e, EdgeSource.vertices(e.select(col("src"), col("dst"))),
         iterations = 15, tolerance = -1, quantize = 1e12)
     }),
@@ -367,6 +387,20 @@ object SparkEntry {
         nCells = 16, nProbe = 4, dims = 64)
         .select(col("seed"), col("node"))
     }),
+    // ANN recall@k report (r5): lsh and ivf measured against the exact
+    // brute-force top-k on the same queries — the ANN family's quality
+    // harness (the analog of the reference's benchmarkAlgorithm for its
+    // PPR approximations). Integer hit counts, one division per metric.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val q = e.where(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(q, e, k = 5).localCheckpoint(true)
+      val lsh = Similarity.lshTopK(q, e, k = 5, planes = 10, dims = 64)
+      val ivf = Similarity.ivfTopK(q, e, k = 5, nCells = 16, nProbe = 4, dims = 64)
+      Similarity.recallAtK(lsh, exact, k = 5, method = "lsh")
+        .union(Similarity.recallAtK(ivf, exact, k = 5, method = "ivf"))
+    }),
     // ---- multimodal plumbing -------------------------------------------------
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.synthesize(s, 200))),
@@ -511,9 +545,13 @@ object SparkEntry {
     "q_ann_lsh" -> OracleSql.annLsh(k = 5, planes = 10, seed = 42L, queryBound = 50),
     "q_ann_ivf" -> OracleSql.annIvf(k = 5, nCells = 16, nProbe = 4, dims = 64,
       seed = 42L, queryBound = 50),
+    "q_ann_recall" -> OracleSql.annRecall(k = 5, planes = 10, seedSalt = 42L,
+      queryBound = 50, nCells = 16, nProbe = 4, dims = 64),
     // ---- iterative operators: unrolled-CTE oracles (fixed-point mode) -----
     "q_exact_ppr" -> OracleSql.exactPpr(iterations = 15, damping = 0.85, nSeeds = 10),
     "q_push_ppr" -> OracleSql.pushPpr(iterations = 8, rmax = 1e-4, damping = 0.85, nSeeds = 10),
+    "q_push_ppr_weighted" -> OracleSql.pushPprWeighted(iterations = 8, rmax = 1e-4, damping = 0.85, nSeeds = 10),
+    "q_grank_weighted" -> OracleSql.grankWeighted(k = 10, l = 20, iterations = 6, damping = 0.85),
     "q_exact_ppr_weighted" -> OracleSql.exactPprWeighted(iterations = 10, damping = 0.85, nSeeds = 10),
     "q_grank" -> OracleSql.grank(k = 10, l = 20, iterations = 6, damping = 0.85),
     "q_pagerank" -> OracleSql.pageRank(iterations = 40, damping = 0.85),

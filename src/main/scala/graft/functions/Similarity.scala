@@ -120,12 +120,14 @@ object Similarity {
   def ivfTrain(corpus: DataFrame, nCells: Int, dims: Int,
       lloydIters: Int = 1, seed: Long = 42L,
       vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
     var centroids: Seq[(Int, Seq[Double])] = (0 until nCells).map(c =>
       c -> (0 until dims).map(i => centroidComponentScala(i.toLong, c.toLong, seed)))
     var it = 0
     while (it < lloydIters) {
-      val assigned = corpus.select(col(vecCol).as("v"),
-        assignCell(col(vecCol), centroids).as("cell"))
+      val assigned = corpus.select(col(vecCol).as("v"))
+        .crossJoin(broadcast(centroidsFrame(spark, centroids)))
+        .select(col("v"), cellOf(col("v")).as("cell"))
       // fixed-point per-cell per-dim mean: exact LONG sums, one division
       val sums = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -147,18 +149,38 @@ object Similarity {
     centroids
   }
 
-  /** Cell assignment column: argmax cosine(v, centroid) over LITERAL
-    * centroids (ties -> smallest cell id). One projection, no join.
-    * array_sort over (−cosine, cell) structs keeps the expression tree
-    * LINEAR in nCells — a when()-chain reduce embeds each operand three
-    * times per level (exponential tree, measured as a driver heap OOM at
-    * 16 cells x 64 dims). */
-  private[graft] def assignCell(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
-    val scored = array(centroids.map { case (c, cent) =>
-      struct((-cosine(vec, typedLit(cent))).as("negs"), lit(c).as("c"))
-    }: _*)
-    element_at(array_sort(scored), 1).getField("c")
+  /** The trained centroids as DATA, not expressions: a ONE-ROW frame whose
+    * single `cents` column is the full codebook ARRAY<STRUCT<c INT,
+    * cent ARRAY<DOUBLE>>> sorted by cell id. Cross-joining it with
+    * `broadcast()` attaches the codebook to every row through one
+    * BroadcastExchange (a real torrent broadcast, shipped once per
+    * executor) with ZERO expression-tree growth — the previous
+    * literal-centroid projection embedded O(nCells·dims) typedLit nodes in
+    * the plan, which cannot even be CONSTRUCTED at realistic IVF settings
+    * (tens of thousands of cells × 512-1024 dims; a when()-chain variant
+    * OOMed the driver at just 16×64). The codebook rides the task broadcast
+    * exactly like any small dimension table. */
+  private[graft] def centroidsFrame(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    centroids.toDF("c", "cent")
+      .agg(sort_array(collect_list(struct(col("c"), col("cent")))).as("cents"))
   }
+
+  /** Per-row (−cosine, cell) scores against the joined `cents` codebook —
+    * the shared kernel of assignment and probing. One linear `transform`
+    * pass per row; struct order (negs asc, cell asc) = cosine desc, ties
+    * smallest cell id, matching the pre-join literal formulation and the
+    * DuckDB oracle's ORDER BY s DESC, c ASC. */
+  private def cellScores(vec: Column): Column =
+    transform(col("cents"), e =>
+      struct((-cosine(vec, e.getField("cent"))).as("negs"), e.getField("c").as("c")))
+
+  /** Cell assignment column (requires the `cents` codebook column in scope,
+    * i.e. after a broadcast cross-join with [[centroidsFrame]]): argmax
+    * cosine via a linear array_min — no per-row sort, no shuffle. */
+  private[graft] def cellOf(vec: Column): Column =
+    array_min(cellScores(vec)).getField("c")
 
   /** IVF approximate top-k: corpus vectors are bucketed by trained cell;
     * each query probes its `nProbe` best cells and scores exact cosine only
@@ -176,22 +198,46 @@ object Similarity {
     require(d > 0, "ivfTopK needs the embedding dimensionality (empty corpus?)")
     require(nProbe >= 1 && nProbe <= nCells, "1 <= nProbe <= nCells")
     val centroids = ivfTrain(corpus, nCells, d, lloydIters, seed, vecCol)
-    val inverted = corpus.select(col(idCol).as("node"), col(vecCol).as("cv"),
-      assignCell(col(vecCol), centroids).as("cell"))
+    val cents = broadcast(centroidsFrame(queries.sparkSession, centroids))
+    val inverted = corpus.select(col(idCol).as("node"), col(vecCol).as("cv"))
+      .crossJoin(cents)
+      .select(col("node"), col("cv"), cellOf(col("cv")).as("cell"))
     // per-query probe list: nProbe best cells by centroid cosine (desc,
-    // cell asc) — computed as a literal-centroid projection + explode
-    val probeScores = array(centroids.map { case (c, cent) =>
-      struct((-cosine(col("qv"), typedLit(cent))).as("negs"), lit(c).as("c"))
-    }: _*)
+    // cell asc) — one sort of the nProbe-truncated per-row score array
     val probes = queries.select(col(idCol).as("seed"), col(vecCol).as("qv"))
+      .crossJoin(cents)
       .select(col("seed"), col("qv"),
-        explode(slice(array_sort(probeScores), 1, nProbe)).as("p"))
+        explode(slice(array_sort(cellScores(col("qv"))), 1, nProbe)).as("p"))
       .select(col("seed"), col("qv"), col("p.c").as("cell"))
     val scored = probes.join(inverted, Seq("cell"))
       .where(col("seed") =!= col("node"))
       .select(col("seed"), col("node"), cosine(col("qv"), col("cv")).as("score"))
       .dropDuplicates("seed", "node")
     TopK.pruneTopL(scored, k, "bounded")
+  }
+
+  /** Recall@k of an approximate top-k result against the exact one
+    * ([[bruteForceTopK]]) — the quality harness of the ANN family, the
+    * analog of the reference's Jaccard/Kendall benchmark for its PPR
+    * approximations (include/benchmarkAlgorithm.h:52-153): a user tuning
+    * `planes` / `nCells` / `nProbe` reads THIS, not the hash-exactness
+    * tests. One row: (method, n_seeds, hits, avg_recall, min_recall).
+    * All aggregation is exact-integer (per-seed hit counts) with ONE
+    * floating division per metric, so an external SQL oracle replays it
+    * bit-exactly — no float-sum order dependence. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int, method: String): DataFrame = {
+    val hits = exact.select(col("seed"), col("node"))
+      .join(approx.select(col("seed"), col("node")), Seq("seed", "node"), "left_semi")
+      .groupBy(col("seed")).agg(count(lit(1)).as("h"))
+    val perSeed = exact.select(col("seed")).distinct()
+      .join(hits, Seq("seed"), "left")
+      .select(coalesce(col("h"), lit(0L)).as("h"))
+    perSeed
+      .agg(count(lit(1)).as("n_seeds"), sum(col("h")).as("hits"),
+        min(col("h")).as("min_hits"))
+      .select(lit(method).as("method"), col("n_seeds"), col("hits"),
+        (col("hits").cast("double") / (col("n_seeds") * lit(k.toLong))).as("avg_recall"),
+        (col("min_hits").cast("double") / lit(k)).as("min_recall"))
   }
 
   /** LSH-bucketed approximate top-k: candidates share at least one of the

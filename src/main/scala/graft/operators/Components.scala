@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.sources.EdgeSource
 
@@ -135,9 +134,13 @@ object Components {
       val freq = state.join(und, state("id") === und("src"))
         .groupBy(col("dst").as("v"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("v")).orderBy(col("cnt").desc, col("label").asc)
-      val winner = freq.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1).select(col("v"), col("label").as("newLabel"))
+      // winner = argmax by (cnt desc, label asc) as a combinable min-struct
+      // aggregation, NOT a row_number window: a web hub's distinct incoming
+      // labels ≈ its in-degree in early rounds, and a window would sort all
+      // of them in ONE partition; min() partial-aggregates map-side instead
+      val winner = freq.groupBy(col("v"))
+        .agg(min(struct((-col("cnt")).as("negCnt"), col("label").as("l"))).as("best"))
+        .select(col("v"), col("best.l").as("newLabel"))
       state = state.join(winner, state("id") === winner("v"), "left")
         .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
         .localCheckpoint(true)

@@ -61,26 +61,42 @@ object GRank {
 
   def runWithMetrics(edges: DataFrame, vertices: DataFrame, cfg: PprConfig): IterativeEngine.Result = {
     val spark = edges.sparkSession
+    import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // weight contract (same as ExactPpr/PageRank/PushPpr): a `weight` edge
+    // column switches the gather factor to d*w(s,dst)/sum_out w(s) —
+    // integer weights keep it one exact-operand IEEE division, so the
+    // unrolled DuckDB oracle stays hash-exact. Non-positive weights drop.
+    val weighted = edges.columns.contains("weight")
+    val pos = if (weighted) edges.where(col("weight") > 0) else edges
+    val srcNorm =
+      if (weighted) pos.groupBy(col("src")).agg(sum(col("weight")).as("norm"))
+      else pos.groupBy(col("src")).agg(count(lit(1)).as("norm"))
     val saltThreshold = resolveSaltThreshold(cfg)
-    val hubsBase =
+    // hub ids are collected ONCE (<= |E|/saltThreshold of them by
+    // construction — a handful at real thresholds) and drive both the
+    // engage-salting decision and the broadcast sides below; the earlier
+    // isEmpty-then-join form ran the full in-degree aggregation twice
+    // (ADVICE r4)
+    val hubIds: Array[Long] =
       if (saltThreshold > 0)
-        edges.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+        pos.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
           .where(col("indeg") > saltThreshold)
-          .select(col("dst").as("hub"))
-      else null
-    // auto mode pays ONE setup job to check for hubs and runs the plain
+          .select(col("dst")).collect().map(_.getLong(0))
+      else Array.empty
+    // auto mode pays that ONE setup job to check for hubs and runs the plain
     // unsalted plan (zero per-superstep salting overhead) when none exist —
     // HubBench measured blanket salting regressing moderate skew
-    val salted = saltThreshold > 0 && (cfg.saltThreshold >= 0 || !hubsBase.isEmpty)
+    val salted = saltThreshold > 0 && (cfg.saltThreshold >= 0 || hubIds.nonEmpty)
 
     // CSR-like layout: one shuffle up front, reused by every superstep's join
-    val adjBase = edges.join(outdeg, "src")
-      .select(col("src"), col("dst"), (lit(cfg.damping) / col("outdeg")).as("factor"))
+    val adjBase = pos.join(srcNorm, "src")
+      .select(col("src"), col("dst"),
+        (if (weighted) lit(cfg.damping) * col("weight") / col("norm")
+         else lit(cfg.damping) / col("norm")).as("factor"))
     val adj = (if (salted) {
-      val hubs = hubsBase
+      val hubs = hubIds.toSeq.toDF("hub")
       adjBase.join(broadcast(hubs), adjBase("dst") === hubs("hub"), "left")
         .select(col("src"), col("dst"), col("factor"),
           when(col("hub").isNotNull, pmod(xxhash64(col("src")), lit(cfg.saltBuckets)))
@@ -91,8 +107,7 @@ object GRank {
         .repartition(shufflePartitions, col("dst"))
     }).persist()
     val hubSeeds =
-      if (salted)
-        adj.where(col("salt") > 0).select(col("dst").as("hub")).distinct().persist()
+      if (salted) hubIds.toSeq.toDF("hub").persist()
       else null
 
     val teleport = vertices
@@ -118,13 +133,13 @@ object GRank {
         Array(colorHalf(teleport, "seed", 0).persist(), colorHalf(teleport, "seed", 1).persist())
       else null
 
-    // G2 state init: self teleport + one-hop scatter, pruned to L
+    // G2 state init: self teleport + one-hop scatter (the same per-edge
+    // factor as the gather adjacency — weighted or uniform), pruned to L
     // (include/grank.h:64-83; += on duplicates handles self-loops)
     val init = TopK.pruneTopL(
       teleport.union(
-        edges.join(outdeg, "src")
-          .select(col("src").as("seed"), col("dst").as("node"),
-            (lit(cfg.damping) / col("outdeg")).as("score"))),
+        adjBase.select(col("src").as("seed"), col("dst").as("node"),
+          col("factor").as("score"))),
       cfg.L, cfg.topLStrategy, cfg.quantize)
 
     def gather(state: DataFrame, adjacency: DataFrame): DataFrame = {

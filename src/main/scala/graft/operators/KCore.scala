@@ -15,11 +15,19 @@ import org.apache.spark.sql.functions._
   * Chosen over sequential peeling BECAUSE of the 100-TB shape: peeling is an
   * inherently sequential frontier (remove min-degree vertices, recompute),
   * while the h-index step is one gather per round — join the undirected
-  * closure with the current estimates on the neighbor key, then a per-vertex
-  * sort-rank and max(least(rank, value)). One exchange for the join + one
-  * window shuffle per round, all integer arithmetic (hash-exact replay
-  * without any quantization grid), and convergence is data-dependent but
-  * fast on web-like graphs (degeneracy-ordered chains are the slow case).
+  * closure with the current estimates on the neighbor key, then the h-index
+  * per vertex. The h-index is computed over the per-vertex VALUE HISTOGRAM,
+  * not a per-vertex sort of all neighbor estimates: gathered estimates are
+  * first hash-aggregated to (v, e, count) — map-side combinable, so a
+  * 10^7-in-degree hub ships at most |distinct estimate values| rows per
+  * partition instead of 10^7 rows into one window sorter — and the h-index
+  * falls out of the cumulative count over the (small, integer-valued)
+  * distinct estimates: h = max over distinct e of min(#neighbors with
+  * estimate >= e, e), identical to the rank formulation because within a
+  * tie group the best rank is the group's cumulative count. All integer
+  * arithmetic (hash-exact replay without any quantization grid);
+  * convergence is data-dependent but fast on web-like graphs
+  * (degeneracy-ordered chains are the slow case).
   *
   * State is (seed = 0, node, score = current estimate) so the shared
   * IterativeEngine drives tolerance/checkpoint/lineage exactly like the PPR
@@ -53,13 +61,19 @@ object KCore {
     def superstep(state: DataFrame, i: Int): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       // gather neighbor estimates; vertices absent from `und` (isolated)
-      // have no rows here and keep 0 via the right join below
+      // have no rows here and keep 0 via the left join below
       val gathered = und.join(state, und("dst") === state("node"))
         .select(und("src").as("v"), col("score").as("e"))
-      val r = row_number().over(Window.partitionBy(col("v")).orderBy(col("e").desc))
-      val h = gathered.select(col("v"), col("e"), r.as("r"))
+      // histogram h-index: hash-agg to (v, value, count) first (partial
+      // aggregation bounds a hub's shuffle rows by the estimate-value range,
+      // not its degree), then a cumulative count over the per-vertex
+      // DISTINCT values — h = max over e of min(cum(e), e)
+      val hist = gathered.groupBy(col("v"), col("e")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("v")).orderBy(col("e").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val h = hist.select(col("v"), col("e"), sum(col("cnt")).over(w).as("cum"))
         .groupBy(col("v"))
-        .agg(max(least(col("r").cast("double"), col("e"))).as("h"))
+        .agg(max(least(col("cum").cast("double"), col("e"))).as("h"))
       state.join(h, state("node") === h("v"), "left")
         .select(col("seed"), col("node"), coalesce(col("h"), lit(0.0)).as("score"))
     }

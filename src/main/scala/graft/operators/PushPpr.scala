@@ -53,14 +53,35 @@ object PushPpr {
     require(rmax > 0, "rmax must be > 0")
     require(iterations > 0, "iterations must be > 0")
     require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
+    // with damping = 1 a fired push converts NOTHING into score ((1-d) = 0),
+    // so the engine's score-only L1 norm reads 0 while residual mass still
+    // circulates — any tolerance >= 0 would exit after one superstep
+    // (ADVICE r4). Fixed-iteration runs (tolerance < 0) remain legal.
+    require(tolerance < 0 || damping < 1,
+      "tolerance-driven convergence requires damping < 1 (score-only norm is blind to residuals)")
+
+    // weight contract (same as ExactPpr/PageRank/GRank): a `weight` edge
+    // column switches the push factor to d*w(u,v)/sum_out w(u). The FIRE
+    // threshold stays count-based (residual >= rmax * outdeg(u)): a firing's
+    // work is one adjacency row per out-EDGE regardless of how the mass
+    // splits across them, so the work bound — pushes proportional to moved
+    // mass — is unchanged; only the converged fixpoint becomes the weighted
+    // PPR vector.
+    val weighted = edges.columns.contains("weight")
+    val pos = if (weighted) edges.where(col("weight") > 0) else edges
 
     // loop-invariant sides pre-partitioned on their join keys once: the
     // per-superstep joins then re-shuffle only the (smaller) state side
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = edges.join(outdeg, "src")
-      .select(col("src"), col("dst"), (lit(damping) / col("deg")).as("factor"))
-      .repartition(col("src"))
-      .persist()
+    val outdeg = pos.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adjBase =
+      if (weighted) {
+        val srcNorm = pos.groupBy(col("src")).agg(sum(col("weight")).as("norm"))
+        pos.join(srcNorm, "src")
+          .select(col("src"), col("dst"), (lit(damping) * col("weight") / col("norm")).as("factor"))
+      } else
+        pos.join(outdeg, "src")
+          .select(col("src"), col("dst"), (lit(damping) / col("deg")).as("factor"))
+    val adj = adjBase.repartition(col("src")).persist()
     val degs = outdeg.select(col("src").as("node"), col("deg"))
       .repartition(col("node")).persist()
 

@@ -109,9 +109,20 @@ object Quality {
         val uncoveredSeeds = sampled.join(pre.select(col("seed")).distinct(),
           Seq("seed"), "left_anti").localCheckpoint(true)
         val covered = pre.join(sampled, Seq("seed"), "left_semi")
-        if (uncoveredSeeds.isEmpty) covered
-        else covered.select(col("seed"), col("node"), col("score"))
-          .union(computeOracle(uncoveredSeeds).select(col("seed"), col("node"), col("score")))
+        val nUncovered = uncoveredSeeds.count()
+        if (nUncovered == 0) covered
+        else {
+          // surfaced loudly: covered seeds keep the precomputed frame's
+          // (uncheckable) oracle parameters while these get THIS call's —
+          // a silent mix would skew the metrics invisibly (ADVICE r4)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"Quality.evaluate: precomputed oracle misses $nUncovered of $nSampled sampled seeds; " +
+              s"computing their oracle with this call's parameters " +
+              s"(iterations=$oracleIterations, tolerance=$oracleTolerance, quantize=$quantize) — " +
+              "ensure the precomputed frame used the same ones")
+          covered.select(col("seed"), col("node"), col("score"))
+            .union(computeOracle(uncoveredSeeds).select(col("seed"), col("node"), col("score")))
+        }
       case None => computeOracle(sampled)
     }
 

@@ -39,6 +39,28 @@ object EventStream {
 
   private val sinkSeq = new AtomicInteger(0)
 
+  private def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  /** Materialize a memory-sink table and release its backing resources:
+    * localCheckpoint the rows, then drop the temp view and the staged
+    * source directory (they otherwise accumulate disk + driver memory
+    * across runs in one JVM — ADVICE r4). */
+  private def drainSink(spark: SparkSession, name: String, dir: String,
+      filter: DataFrame => DataFrame = identity): DataFrame = {
+    val res = filter(spark.table(name)).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    deleteRecursively(dir)
+    res
+  }
+
   /** Execute the streaming [[windowedAgg]] over a finite file source to
     * completion and hand back the result as a batch DataFrame: stage the
     * events parquet into a fresh source directory, run the SAME transform
@@ -60,7 +82,7 @@ object EventStream {
     val q = stream.writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    drainSink(spark, name, dir)
   }
 
   /** Execute the streaming [[sessionizeStream]] over a finite file source
@@ -79,7 +101,17 @@ object EventStream {
     val batch = spark.read.parquet(eventsParquet)
     val schema = batch.schema
     val dir = java.nio.file.Files.createTempDirectory("graft-events-sess").toString
-    batch.write.mode("overwrite").parquet(dir)
+    // single staged file: the whole real dataset lands in ONE micro-batch,
+    // so no real event can arrive in a later batch behind an advanced
+    // watermark and be dropped as late (ADVICE r4). This is the
+    // driver-oracle entry point at verification scale, not the production
+    // ingest path — there a stream is genuinely unbounded and late events
+    // past the watermark are the documented streaming contract.
+    batch.coalesce(1).write.mode("overwrite").parquet(dir)
+    // sentinel user derived OUTSIDE the observed id range: a fixed -1 would
+    // silently drop a real user with that id (ADVICE r4)
+    val minRow = batch.agg(min(col("user_id"))).head()
+    val sentinel = (if (minRow.isNullAt(0)) 0L else minRow.getLong(0)) - 1L
     val stream = sessionizeStream(spark.readStream.schema(schema).parquet(dir),
       gapMinutes, watermark)
     val name = s"graft_sessionize_stream_${sinkSeq.incrementAndGet()}"
@@ -90,13 +122,13 @@ object EventStream {
       val top = batch.orderBy(col("ts").desc).limit(1).persist()
       for (days <- Seq(100, 200)) {
         top.withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
-          .withColumn("user_id", lit(-1L))
+          .withColumn("user_id", lit(sentinel))
           .write.mode("append").parquet(dir)
         q.processAllAvailable()
       }
       top.unpersist()
     } finally q.stop()
-    spark.table(name).where(col("user_id") =!= -1L)
+    drainSink(spark, name, dir, _.where(col("user_id") =!= sentinel))
   }
 
   /** Streaming exact dedup by event_id within the watermark horizon. */

@@ -213,6 +213,22 @@ class FunctionsSpec extends AnyFunSuite with GraphFixtures {
     d.unpersist()
   }
 
+  test("recallAtK: exact-vs-exact is 1.0; planted misses are measured exactly") {
+    val rows = Seq(
+      1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.9f, 0.1f, 0f), 3L -> Seq(0.8f, 0.2f, 0f),
+      4L -> Seq(0f, 1f, 0f), 5L -> Seq(0f, 0.9f, 0.1f))
+    val d = vecs(rows)
+    val q = d.where(col("vec_id") <= 2)
+    val exact = Similarity.bruteForceTopK(q, d, k = 2).localCheckpoint(true)
+    val self = Similarity.recallAtK(exact, exact, k = 2, method = "self").head()
+    assert(self.getString(0) == "self" && self.getLong(1) == 2L && self.getLong(2) == 4L)
+    assert(self.getDouble(3) == 1.0 && self.getDouble(4) == 1.0)
+    // drop seed 1's rows entirely: avg = 2/4, min = 0 — exact integer math
+    val miss = Similarity.recallAtK(exact.where(col("seed") =!= 1L), exact,
+      k = 2, method = "m").head()
+    assert(miss.getLong(2) == 2L && miss.getDouble(3) == 0.5 && miss.getDouble(4) == 0.0)
+  }
+
   test("IVF training: grid-summed Lloyd step is partitioning-invariant") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 24L).map(i => i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1))

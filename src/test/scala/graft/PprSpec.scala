@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.model.PprConfig
-import graft.operators.{ExactPpr, GRank, MonteCarloPpr}
+import graft.operators.{ExactPpr, GRank, MonteCarloPpr, PushPpr}
 
 /** Algorithm tests vs closed forms + exact oracle (SURVEY.md §5 tier 2). */
 class PprSpec extends AnyFunSuite with GraphFixtures {
@@ -250,5 +250,49 @@ class PprSpec extends AnyFunSuite with GraphFixtures {
     val skew = Seq((0L, 1L, 9L), (0L, 2L, 1L)).toDF("src", "dst", "weight")
     val got = m(ExactPpr.run(skew, verticesDf(Seq(0L)), 50, 0.85, 1e-12))(0L)
     assert(math.abs(got(1L) / got(2L) - 9.0) < 1e-9, s"$got")
+  }
+
+  test("grank weighted: equal weights bit-identical to unweighted on the grid; skew follows weights") {
+    val s2 = spark
+    import s2.implicits._
+    val es = randomGraph(15, 50, seed = 33)
+    val vs = verticesDf(es.flatMap(e => Seq(e._1, e._2)).distinct)
+    val cfg = graft.model.PprConfig(K = 10, L = 20, iterations = 6, tolerance = -1,
+      topLStrategy = "window", quantize = 1e12)
+    val flat = es.map { case (a, b) => (a, b, 5L) }.toDF("src", "dst", "weight")
+    assert(baskets(GRank.run(edgesDf(es), vs, cfg)) == baskets(GRank.run(flat, vs, cfg)))
+    // 0 -> 1 (w 9) / 0 -> 2 (w 1): seed 0's basket mass follows the weights
+    val skew = Seq((0L, 1L, 9L), (0L, 2L, 1L)).toDF("src", "dst", "weight")
+    val got = baskets(GRank.run(skew, verticesDf(Seq(0L, 1L, 2L)),
+      graft.model.PprConfig(K = 3, L = 5, iterations = 30, tolerance = 1e-12)))(0L)
+    assert(math.abs(got(1L) / got(2L) - 9.0) < 1e-9, s"$got")
+  }
+
+  test("push weighted: equal weights bit-identical to unweighted; skew follows weights") {
+    val s2 = spark
+    import s2.implicits._
+    val es = randomGraph(15, 50, seed = 33)
+    val seeds = verticesDf(Seq(2L))
+    val flat = es.map { case (a, b) => (a, b, 5L) }.toDF("src", "dst", "weight")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      baskets(PushPpr.run(e, seeds, rmax = 1e-4, iterations = 8, tolerance = -1,
+        quantize = 1e12).state.select(col("seed"), col("node"), col("score")))
+    assert(run(edgesDf(es)) == run(flat))
+    val skew = Seq((0L, 1L, 9L), (0L, 2L, 1L)).toDF("src", "dst", "weight")
+    val got = baskets(PushPpr.run(skew, verticesDf(Seq(0L)), rmax = 1e-8,
+      iterations = 50, tolerance = 1e-12)
+      .state.select(col("seed"), col("node"), col("score")))(0L)
+    assert(math.abs(got(1L) / got(2L) - 9.0) < 1e-9, s"$got")
+  }
+
+  test("push: damping = 1 rejected for tolerance-driven runs (score norm is blind to residuals)") {
+    val es = edgesDf(cycle(4))
+    intercept[IllegalArgumentException] {
+      PushPpr.run(es, verticesDf(Seq(0L)), rmax = 1e-4, iterations = 5,
+        damping = 1.0, tolerance = 1e-6)
+    }
+    // fixed-iteration runs with damping = 1 stay legal
+    PushPpr.run(es, verticesDf(Seq(0L)), rmax = 1e-4, iterations = 2,
+      damping = 1.0, tolerance = -1)
   }
 }
