@@ -829,4 +829,51 @@ object OracleSql {
        |   SELECT u.dst, b.dist + 1 FROM b JOIN und u ON b.id = u.src WHERE b.dist < $maxDist),
        | d AS (SELECT id, min(dist) AS dist FROM b GROUP BY id)
        |SELECT id, CAST(dist % 2 AS INT) AS color FROM d""".stripMargin
+
+  /** Shared CTEs of the SCC fixture (operators/Scc): the directed
+    * consecutive-linenumber part graph (every `mod`-th order contributes
+    * edges partkey(line i) -> partkey(line i+1)), its transitive closure,
+    * and scc(v) = min{u : u ⇝ v ∧ v ⇝ u} ∪ {v}. NOTE: inside a DuckDB
+    * `WITH RECURSIVE` block a non-recursive CTE whose body is a top-level
+    * UNION silently gets UNION ALL semantics (observed on 1.0.0) — hence
+    * the explicit SELECT DISTINCT wrapper on `v`. */
+  private def sccCtes(mod: Int): String =
+    s"""e2 AS MATERIALIZED (
+       |   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |   FROM lineitem a JOIN lineitem b
+       |     ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+       |   WHERE a.l_orderkey % $mod = 0 AND a.l_partkey <> b.l_partkey),
+       | v AS MATERIALIZED (SELECT DISTINCT id FROM
+       |   (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
+       | r(a, b) AS (SELECT src, dst FROM e2
+       |             UNION
+       |             SELECT r.a, e2.dst FROM r JOIN e2 ON r.b = e2.src),
+       | m AS MATERIALIZED (SELECT r1.b AS id, min(r1.a) AS mm
+       |      FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+       |      WHERE r1.a < r1.b GROUP BY 1),
+       | sccs AS MATERIALIZED (SELECT v.id AS id, least(v.id, coalesce(m.mm, v.id)) AS scc
+       |      FROM v LEFT JOIN m USING (id))""".stripMargin
+
+  /** Strongly connected components (operators/Scc.scc) via the closure. */
+  def scc(mod: Int): String =
+    s"""WITH RECURSIVE
+       | ${sccCtes(mod)}
+       |SELECT id, scc FROM sccs""".stripMargin
+
+  /** Bow-tie decomposition (operators/Scc.bowtie): CORE = largest SCC
+    * (ties to min scc id); IN reaches the core rep, OUT is reached from it
+    * (rep membership makes either equivalent to reaching the whole core). */
+  def bowtie(mod: Int): String =
+    s"""WITH RECURSIVE
+       | ${sccCtes(mod)},
+       | core AS MATERIALIZED (SELECT scc AS s FROM
+       |   (SELECT scc, count(*) AS n FROM sccs GROUP BY 1) ORDER BY n DESC, scc ASC LIMIT 1),
+       | inr AS MATERIALIZED (SELECT DISTINCT r.a AS id FROM r WHERE r.b = (SELECT s FROM core)),
+       | outr AS MATERIALIZED (SELECT DISTINCT r.b AS id FROM r WHERE r.a = (SELECT s FROM core))
+       |SELECT sccs.id AS id,
+       |  CASE WHEN sccs.scc = (SELECT s FROM core) THEN 'CORE'
+       |       WHEN inr.id IS NOT NULL THEN 'IN'
+       |       WHEN outr.id IS NOT NULL THEN 'OUT'
+       |       ELSE 'OTHER' END AS region
+       |FROM sccs LEFT JOIN inr ON sccs.id = inr.id LEFT JOIN outr ON sccs.id = outr.id""".stripMargin
 }

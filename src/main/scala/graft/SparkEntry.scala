@@ -34,6 +34,24 @@ object SparkEntry {
     (edges, EdgeSource.vertices(edges))
   }
 
+  /** Directed SCC fixture (operators/Scc): consecutive-linenumber part
+    * pairs of every 10th order — sparse enough for a real bow tie (giant
+    * SCC of 724 among 1672 vertices, IN 382 / OUT 381 / OTHER 185 at
+    * sf0.01) where the full part->supplier graph collapses into one SCC. */
+  private def sccGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val e = EdgeSource.dedup(
+      li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("y.l_linenumber") === col("x.l_linenumber") + 1)
+        .where(col("x.l_orderkey") % 10 === 0 &&
+          col("x.l_partkey") =!= col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("src"),
+          col("y.l_partkey").cast("long").as("dst")))
+    (e, EdgeSource.vertices(e))
+  }
+
   /** Weighted edge table: weight = summed integer l_quantity per pair
     * (stand-in for anchor-text / link-frequency weights on a web graph) —
     * the shared input of every *_weighted driver row. */
@@ -202,6 +220,14 @@ object SparkEntry {
     "q_label_propagation" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
       Components.labelPropagation(e, v, rounds = 4)
+    }),
+    "q_scc" -> ((s, dir) => {
+      val (e, v) = sccGraph(s, dir)
+      Scc.scc(e, v)
+    }),
+    "q_bowtie" -> ((s, dir) => {
+      val (e, v) = sccGraph(s, dir)
+      Scc.bowtie(e, v)
     }),
     "q_two_coloring" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
@@ -561,6 +587,8 @@ object SparkEntry {
     "q_label_propagation" -> OracleSql.labelPropagation(rounds = 4),
     "q_quality_harness" -> OracleSql.qualityHarness(k = 10, l = 20, grankIterations = 8,
       oracleIterations = 20, testNodes = 20, damping = 0.85, sampleSeed = 42L),
+    "q_scc" -> OracleSql.scc(mod = 10),
+    "q_bowtie" -> OracleSql.bowtie(mod = 10),
     "q_two_coloring" -> OracleSql.twoColoring(),
     "q_two_coloring_contract" -> OracleSql.twoColoringContract(),
     "q_ann_brute" ->
