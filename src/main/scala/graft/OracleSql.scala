@@ -157,6 +157,53 @@ object OracleSql {
        |FROM u""".stripMargin
   }
 
+  /** HyperBall geometric centralities (operators/HyperBall.centralities):
+    * the hyperball register recursion replayed per round, a 1e-6-grid HLL
+    * estimate CTE per round (same integer-sum + one-division + linear-
+    * counting-branch math as [[hyperball]]), then the fixed-order harmonic
+    * and sum-of-distances expression trees over est_0..est_rounds. */
+  def harmonicCentrality(rounds: Int, p: Int, salt: Long): String = {
+    val m = 1 << p
+    val alpha = graft.functions.Sketch.alphaFor(m)
+    val mix = graft.kernels.Mix.sql("id", "0", "1", salt)
+    val steps = (1 to rounds).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT id, bucket, max(rho) AS rho FROM (
+         |   SELECT id, bucket, rho FROM r${i - 1}
+         |   UNION ALL
+         |   SELECT e.src AS id, s.bucket, s.rho FROM e JOIN r${i - 1} s ON e.dst = s.id)
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val estCtes = (0 to rounds).map { i =>
+      s"""a$i AS (SELECT id, count(*) AS filled,
+         |   CAST(sum(CAST(power(2, 32 - rho) AS BIGINT)) AS BIGINT) AS sumnon
+         |   FROM r$i GROUP BY 1),
+         | t$i AS (SELECT id, filled, $m - filled AS zeros,
+         |   sumnon + ($m - filled) * 4294967296 AS sumint FROM a$i),
+         | u$i AS (SELECT id, zeros,
+         |   ${dlit(alpha)} * ${dlit(m.toDouble)} * ${dlit(m.toDouble)} * 4294967296.0 / sumint AS raw
+         |   FROM t$i),
+         | est$i AS MATERIALIZED (SELECT id,
+         |   round((CASE WHEN raw <= ${dlit(2.5 * m)} AND zeros > 0
+         |     THEN ${dlit(m.toDouble)} * ln(${dlit(m.toDouble)} / zeros) ELSE raw END) * 1e6) / 1e6 AS est
+         |   FROM u$i)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 to rounds).map(i => s"JOIN est$i e$i USING (id)").mkString(" ")
+    val harm = (1 to rounds)
+      .map(i => s"(e$i.est - e${i - 1}.est) / CAST($i AS DOUBLE)").mkString(" + ")
+    val sd = (1 to rounds)
+      .map(i => s"(e$i.est - e${i - 1}.est) * CAST($i AS DOUBLE)").mkString(" + ")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       | hx AS MATERIALIZED (SELECT id, ($mix) AS h FROM v),
+       | r0 AS MATERIALIZED (SELECT id, CAST(h % $m AS INT) AS bucket,
+       |   CAST(${31 - p + 1} - length(ltrim(bin(h >> $p), '0')) AS INT) AS rho FROM hx),
+       |$steps,
+       |$estCtes
+       |SELECT e0.id AS id, round(($harm) * 1e6) / 1e6 AS harmonic,
+       |  round(($sd) * 1e6) / 1e6 AS sum_dist
+       |FROM est0 e0 $joins""".stripMargin
+  }
+
   /** Shared HLL CTEs (functions/Sketch): edge-endpoint multiset -> mixer
     * hash -> (bucket, rho) -> per-bucket max. Integer-only up to `reg`. */
   private def hllCtes(p: Int, salt: Long): String = {

@@ -312,6 +312,10 @@ object SparkEntry {
       HyperBall.neighborhood(e, v, rounds = 4, p = 6, salt = 42L)
     }),
     // k-core decomposition (r4): synchronous h-index rounds, integer-exact
+    "q_harmonic" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      HyperBall.centralities(e, v, rounds = 4, p = 6, salt = 42L)
+    }),
     "q_kcore" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
       KCore.coreness(e, v, rounds = 8, tolerance = -1)
@@ -531,6 +535,7 @@ object SparkEntry {
     "q_sessionize_stream" -> sessionizeOracle, // same oracle, streaming path
     "q_kcore" -> OracleSql.kcore(rounds = 8),
     "q_hyperball" -> OracleSql.hyperball(rounds = 4, p = 6, salt = 42L),
+    "q_harmonic" -> OracleSql.harmonicCentrality(rounds = 4, p = 6, salt = 42L),
     "q_hll_registers" -> OracleSql.hllRegisters(p = 8, salt = 42L),
     "q_hll_estimate" -> OracleSql.hllEstimate(p = 8, salt = 42L),
     "q_token_count" ->

@@ -72,4 +72,71 @@ object HyperBall {
   def neighborhood(edges: DataFrame, vertices: DataFrame, rounds: Int,
       p: Int = 6, salt: Long = 42L): DataFrame =
     estimates(registers(edges, vertices, rounds, p, salt), p)
+
+  /** Geometric centralities from the per-round neighborhood function — the
+    * actual purpose of HyperBall (Boldi & Vigna 2013, §4): with
+    * N(v, t) = |ball_t(v)| estimated per round,
+    *
+    *   harmonic(v) = Σ_{t=1..rounds} (N(v,t) − N(v,t−1)) / t
+    *   sum_dist(v) = Σ_{t=1..rounds} (N(v,t) − N(v,t−1)) · t   (closeness
+    *                 denominator)
+    *
+    * over distances along the EDGE DIRECTION GIVEN — pass reversed edges
+    * for the standard incoming-paths harmonic centrality. `rounds` is part
+    * of the contract (balls truncate at that radius), matching how a
+    * bounded HyperBall sweep reports centralities at web scale.
+    *
+    * Determinism: each N(v,t) is the 1e-6-grid HLL estimate (integer
+    * registers, one float division — Sketch.estimateFrom); the two sums
+    * are FIXED-ORDER expression trees over the per-round columns (t
+    * ascending), so every IEEE operation replays bit-identically in the
+    * DuckDB oracle — no aggregation-order nondeterminism anywhere.
+    *
+    * 100-TB shape: the register loop is [[registers]]'s (gather + max-merge,
+    * |V|·2^p rows); each per-round estimate is one map-side-combinable
+    * aggregation; the final assembly is `rounds` narrow joins on id. */
+  def centralities(edges: DataFrame, vertices: DataFrame, rounds: Int,
+      p: Int = 6, salt: Long = 42L): DataFrame =
+    graft.kernels.IterTuning.withoutRuntimeFilters(edges.sparkSession) {
+      require(rounds > 0, "rounds must be > 0")
+      require(p >= 4 && p <= 16, "p must be in [4, 16]")
+      val m = 1 << p
+      val adj = edges.select(col("src"), col("dst")).distinct()
+        .repartition(col("dst")).persist()
+      val h = Mix.mix31(col("id"), lit(0L), lit(1L), salt)
+      val w = shiftright(h.cast("long"), p)
+      val rho = lit(31 - p + 1) - length(ltrim(bin(w), "0"))
+      var state = vertices.select(col("id"),
+        pmod(h, lit(m.toLong)).cast("long").as("bucket"), rho.cast("int").as("rho"))
+        .localCheckpoint(true)
+      // each per-round estimate is materialized (small: |V| rows) so the
+      // register state backing it can be freed as the ball advances
+      def est(t: Int): DataFrame =
+        graft.functions.Sketch.estimateFrom(state, p, Seq("id"))
+          .select(col("id"), col("est").as(s"est_$t"))
+          .localCheckpoint(true)
+      var joined = est(0)
+      for (t <- 1 to rounds) {
+        val gathered = adj.join(state, adj("dst") === state("id"))
+          .select(adj("src").as("id"), col("bucket"), col("rho"))
+        val prev = state
+        state = state.union(gathered)
+          .groupBy(col("id"), col("bucket"))
+          .agg(max(col("rho")).as("rho"))
+          .localCheckpoint(true)
+        IterativeEngine.freeCheckpointBlocks(prev)
+        joined = joined.join(est(t), Seq("id"))
+      }
+      IterativeEngine.freeCheckpointBlocks(state)
+      adj.unpersist()
+      val harmonic = (1 to rounds)
+        .map(t => (col(s"est_$t") - col(s"est_${t - 1}")) / lit(t.toDouble))
+        .reduce(_ + _)
+      val sumDist = (1 to rounds)
+        .map(t => (col(s"est_$t") - col(s"est_${t - 1}")) * lit(t.toDouble))
+        .reduce(_ + _)
+      joined.select(col("id"),
+        (round(harmonic * lit(1e6)) / 1e6).as("harmonic"),
+        (round(sumDist * lit(1e6)) / 1e6).as("sum_dist"))
+    }
 }

@@ -96,4 +96,49 @@ class SketchSpec extends AnyFunSuite with GraphFixtures {
       assert(math.abs(est(v) - exact) / exact < 0.25, s"v=$v est=${est(v)} exact=$exact")
     }
   }
+
+  test("harmonic: bit-equal to the fixed-order sum over independent per-round neighborhoods") {
+    val es = randomGraph(40, 90, seed = 5)
+    val (edges, verts) = (edgesDf(es), verticesDf(0L until 40L))
+    val rounds = 4
+    val got = graft.operators.HyperBall.centralities(edges, verts, rounds, p = 6)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // independent replay: neighborhood() with exactly t rounds is the
+    // radius-t ball by definition, then the same fixed-order expression
+    // evaluated on the driver
+    val perRound: Map[Int, Map[Long, Double]] =
+      (1 to rounds).map { t =>
+        t -> graft.operators.HyperBall.neighborhood(edges, verts, rounds = t, p = 6)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }.toMap
+    // est_0: every ball is {v}; all single-register sketches share the same
+    // linear-counting value m*ln(m/(m-1))
+    val m = 64.0
+    val e0 = math.round(m * math.log(m / (m - 1)) * 1e6) / 1e6
+    for (v <- 0L until 40L) {
+      val es0 = e0
+      var harmonic = 0.0
+      var sumDist = 0.0
+      var prev = es0
+      for (t <- 1 to rounds) {
+        val cur = perRound(t)(v)
+        harmonic += (cur - prev) / t.toDouble
+        sumDist += (cur - prev) * t.toDouble
+        prev = cur
+      }
+      assert(got(v)._1 == math.round(harmonic * 1e6) / 1e6, s"harmonic v=$v")
+      assert(got(v)._2 == math.round(sumDist * 1e6) / 1e6, s"sum_dist v=$v")
+    }
+  }
+
+  test("harmonic: sinks score 0; path head approximates 1 + 1/2 + 1/3") {
+    // path 0 -> 1 -> 2 -> 3 with high p: registers are near-exact
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val got = graft.operators.HyperBall.centralities(
+      edgesDf(es), verticesDf(0L until 4L), rounds = 3, p = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(3L) == 0.0) // sink: N(v,t) constant, exact zero
+    val expected = 1.0 + 0.5 + 1.0 / 3.0
+    assert(math.abs(got(0L) - expected) < 0.05, s"head=${got(0L)}")
+  }
 }
