@@ -751,6 +751,37 @@ object OracleSql {
        |   FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id),
        |${jaccardVerify("cand", threshold)}""".stripMargin
 
+  /** Near-dup cluster resolution (functions/Dedup.clusters over
+    * ngramJaccard pairs) on the CHAIN corpus: every document plus a
+    * one-tail copy (+1e6) and a two-tail copy (+2e6). Long documents link
+    * a~a+1e6 and a+1e6~a+2e6 above threshold while a~a+2e6 falls below —
+    * the cluster still merges all three THROUGH the middle copy, which is
+    * exactly the transitivity the operator exists to resolve. Pairs replay
+    * via the inverted-index + exact-Jaccard CTEs; components via the
+    * recursive min-propagation CTE; pair-free docs canonicalize to
+    * themselves. */
+  def dedupClusters(tail: String, tail2: String, k: Int, threshold: Double): String = {
+    val extra =
+      s"""
+         |   UNION ALL SELECT doc_id + 2000000, text || '$tail' || '$tail2' FROM documents""".stripMargin
+    s"""WITH RECURSIVE
+       | ${nearDupShingleCtes(tail, k, extra)},
+       | inv AS MATERIALIZED (SELECT id, unnest(sh) AS s FROM sh),
+       | cand AS MATERIALIZED (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |   FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id),
+       | ji AS MATERIALIZED (SELECT c.id_a, c.id_b,
+       |    len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+       |   FROM cand c JOIN sh a ON c.id_a = a.id JOIN sh b ON c.id_b = b.id),
+       | pr AS MATERIALIZED (SELECT id_a, id_b FROM ji
+       |   WHERE CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE) >= ${dlit(threshold)}),
+       | u AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pr
+       |   UNION ALL SELECT id_b, id_a FROM pr),
+       | r(id, comp) AS (SELECT id, id FROM d
+       |   UNION
+       |   SELECT u.dst, r.comp FROM r JOIN u ON r.id = u.src)
+       |SELECT id AS doc_id, min(comp) AS canonical FROM r GROUP BY 1""".stripMargin
+  }
+
   /** N-gram Jaccard near-dup with a FINITE hot-shingle cap — the actual
     * 100-TB configuration of functions/Dedup.ngramJaccard (the inverted
     * index drops shingles whose document frequency exceeds `cap` from

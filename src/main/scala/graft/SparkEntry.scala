@@ -79,6 +79,17 @@ object SparkEntry {
     d.union(d.select(col("doc_id") + 1000000L, concat(col("text"), lit(nearDupTail))))
   }
 
+  /** Second appended tail for the CHAIN corpus of q_dedup_clusters: long
+    * docs link a~a+1e6 and a+1e6~a+2e6 above 0.7 while a~a+2e6 falls
+    * below — transitive clustering has to bridge through the middle copy. */
+  private val nearDupTail2 = " second graft pad chunk extra"
+
+  /** documents + one-tail copies (+1e6) + two-tail copies (+2e6). */
+  private def chainDocs(s: SparkSession, dir: String): DataFrame =
+    nearDupDocs(s, dir).union(
+      t(s, dir, "documents").select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(nearDupTail), lit(nearDupTail2)).as("text")))
+
   /** Hot-shingle flood for the CAPPED n-gram near-dup row: identical short
     * docs whose tokens appear nowhere else, so their only shingles have
     * df = hotFloodN — above the cap they are dropped from candidate
@@ -371,6 +382,15 @@ object SparkEntry {
     "q_ngram_neardup_t07" -> ((s, dir) =>
       Dedup.ngramJaccard(nearDupDocs(s, dir), "doc_id", "text",
         threshold = 0.7, maxShingleFreq = Int.MaxValue)),
+    // pair generation -> connected components -> canonical doc per cluster
+    // (the transitive resolution step; q_dedup_clusters' chain corpus makes
+    // clusters that only close through the middle copy)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = chainDocs(s, dir)
+      val pairs = Dedup.ngramJaccard(d, "doc_id", "text",
+        threshold = 0.7, maxShingleFreq = Int.MaxValue)
+      Dedup.clusters(pairs, d)
+    }),
     // the CAPPED inverted index — the actual 100-TB configuration (hot
     // shingles with df > 50 are dropped from candidate generation). The
     // planted 64-doc hot flood makes the cap observable: uncapped it would
@@ -565,6 +585,7 @@ object SparkEntry {
     "q_embedding_neardup" ->
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
     "q_ngram_neardup_t07" -> OracleSql.ngramNearDup(nearDupTail, k = 3, threshold = 0.7),
+    "q_dedup_clusters" -> OracleSql.dedupClusters(nearDupTail, nearDupTail2, k = 3, threshold = 0.7),
     "q_ngram_neardup_capped" -> OracleSql.ngramNearDupCapped(nearDupTail, k = 3,
       threshold = 0.7, cap = 50, hotText = hotFloodText, hotN = hotFloodN),
     "q_minhash_neardup_t07" -> OracleSql.minhashNearDup(nearDupTail, k = 3,

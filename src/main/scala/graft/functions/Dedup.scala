@@ -49,6 +49,27 @@ object Dedup {
     res
   }
 
+  /** Near-dup cluster resolution — the step every corpus-dedup pipeline
+    * runs AFTER pair generation (CCNet / RefinedWeb style): near-duplicate
+    * similarity is not transitive, but dedup treats it as if it were, so
+    * pairs become an undirected graph, clusters are its connected
+    * components, and each cluster keeps one canonical document (min id).
+    * Documents in no pair are their own canonical. Returns
+    * (doc_id, canonical).
+    *
+    * Composition of two existing pieces: any pair generator
+    * ([[minHashLsh]], [[ngramJaccard]], [[simHashNearDup]], ...) and
+    * operators/Components star-contraction CC — O(log n) rounds, so a
+    * pathological duplicate CHAIN (a~b~c~... each link above threshold,
+    * ends far apart) resolves without diameter-many supersteps. 100-TB
+    * shape: pair count is bounded by the generator's banding/cap machinery;
+    * the CC runs on pairs only, vertices join back at the end. */
+  def clusters(pairs: DataFrame, docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    graft.operators.Components.connectedComponents(
+        pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")),
+        docs.select(col(idCol).cast("long").as("id")))
+      .select(col("id").as(idCol), col("comp").as("canonical"))
+
   /** Word k-shingles (token n-grams) of the text. */
   def tokenShingles(text: Column, k: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)

@@ -176,6 +176,17 @@ class FunctionsSpec extends AnyFunSuite with GraphFixtures {
     assert(got == Set(5L, 2L))
   }
 
+  test("clusters: transitive chains merge through the middle; pair-free docs self-canonicalize") {
+    val s = spark
+    import s.implicits._
+    // pairs a~b, b~c (a~c absent — similarity is not transitive), plus d~e
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val universe = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val got = Dedup.clusters(pairs, universe)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
   test("LSH top-k achieves high recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(4)
     def jitter(base: Array[Float]) = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq
