@@ -413,6 +413,34 @@ object OracleSql {
        |SELECT node, score FROM p$iterations""".stripMargin
   }
 
+  /** HITS hubs/authorities (operators/Hits): `iterations` unrolled rounds
+    * of auth-from-hubs then hub-from-fresh-auths, each gathered with grid
+    * sums, L1-normalized by one more grid sum, divided once, re-gridded —
+    * the exact trajectory of Hits.run(quantize = 1e12, tolerance = -1). */
+  def hits(iterations: Int): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""ar$i AS (SELECT v.id AS node, coalesce(r.raw, ${dlit(0.0)}) AS raw FROM v LEFT JOIN (
+         |   SELECT e.dst AS node, ${gridSum("score")} AS raw
+         |   FROM h${i - 1} s JOIN e ON s.node = e.src GROUP BY 1) r ON v.id = r.node),
+         | sa$i AS (SELECT ${gridSum("raw")} AS s FROM ar$i),
+         | a$i AS MATERIALIZED (SELECT node, round(raw / s * 1e12) / 1e12 AS score
+         |   FROM ar$i CROSS JOIN sa$i),
+         | hr$i AS (SELECT v.id AS node, coalesce(r.raw, ${dlit(0.0)}) AS raw FROM v LEFT JOIN (
+         |   SELECT e.src AS node, ${gridSum("score")} AS raw
+         |   FROM a$i s JOIN e ON s.node = e.dst GROUP BY 1) r ON v.id = r.node),
+         | sh$i AS (SELECT ${gridSum("raw")} AS s FROM hr$i),
+         | h$i AS MATERIALIZED (SELECT node, round(raw / s * 1e12) / 1e12 AS score
+         |   FROM hr$i CROSS JOIN sh$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       | n1 AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       | h0 AS MATERIALIZED (SELECT id AS node, ${dlit(1.0)} / n AS score FROM v CROSS JOIN n1),
+       |$steps
+       |SELECT a.node AS node, a.score AS auth, h.score AS hub
+       |FROM a$iterations a JOIN h$iterations h USING (node)""".stripMargin
+  }
+
   /** WEIGHTED global PageRank (operators/PageRank with a `weight` edge
     * column): push factor d * w(u,v) / sum_out w(u); edge weight =
     * summed integer l_quantity per (partkey, suppkey) pair. Same teleport +

@@ -213,6 +213,10 @@ object SparkEntry {
       MonteCarloPpr.run(e, v, PprConfig(K = 10, L = 20, iterations = 30,
         topLStrategy = "window", quantize = 1e12), maxSteps = 64, walkMode = "join")
     }),
+    "q_hits" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      Hits.run(e, v, iterations = 12, tolerance = -1, quantize = 1e12)
+    }),
     "q_pagerank" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
       PageRank.run(e, v, iterations = 40, tolerance = -1, quantize = 1e12)
@@ -606,6 +610,7 @@ object SparkEntry {
     "q_grank_weighted" -> OracleSql.grankWeighted(k = 10, l = 20, iterations = 6, damping = 0.85),
     "q_exact_ppr_weighted" -> OracleSql.exactPprWeighted(iterations = 10, damping = 0.85, nSeeds = 10),
     "q_grank" -> OracleSql.grank(k = 10, l = 20, iterations = 6, damping = 0.85),
+    "q_hits" -> OracleSql.hits(iterations = 12),
     "q_pagerank" -> OracleSql.pageRank(iterations = 40, damping = 0.85),
     "q_pagerank_weighted" -> OracleSql.pageRankWeighted(iterations = 15, damping = 0.85),
     "q_mc_ppr" -> OracleSql.mcPpr(k = 10, l = 20, r = 30, damping = 0.85, salt = 42L, maxSteps = 64),

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HITS hubs and authorities (Kleinberg 1999) — the second classic
+  * link-analysis fixpoint next to PageRank, and the one that separates
+  * directories (hubs) from endorsed pages (authorities) on a web graph:
+  *
+  *   auth_i(v) = Σ_{u→v} hub_{i-1}(u)   then L1-normalize
+  *   hub_i(v)  = Σ_{v→w} auth_i(w)      then L1-normalize
+  *
+  * L1 normalization (not the textbook L2) keeps every step SQL-replayable:
+  * with `quantize` > 0 all sums are order-free fixed-point integer sums,
+  * the global normalizer is one more grid sum, and the division is a single
+  * IEEE operation on two exact grid values, re-rounded to the grid — so a
+  * DuckDB oracle replays the whole trajectory hash-exactly (the engine-wide
+  * verification pattern of PageRank/GRank). L1 vs L2 changes only the
+  * scale of the fixpoint, not the ranking (eigenvectors are scale-free).
+  *
+  * State rides the shared iterative engine as (seed 0 = auth, seed 1 = hub,
+  * node, score): the engine's per-seed L1 norm then measures BOTH vectors'
+  * movement, its checkpoint/resume machinery applies unchanged, and each
+  * iteration is two gather exchanges (auth from hubs, hub from fresh auths)
+  * plus two broadcast 1-row normalizer joins — no driver sync in the loop.
+  *
+  * 100-TB shape: the gathers are map-side-combinable sums over the
+  * src-/dst-keyed adjacency (same exchange shape as PageRank's superstep,
+  * with the same hub-skew behavior); the normalizers are 1-row broadcast
+  * subqueries like PageRank's "subquery" leak plan.
+  */
+object Hits {
+
+  /** (node, auth, hub) after `iterations` rounds (or earlier under the
+    * engine's L1 tolerance across both vectors; tolerance < 0 forces all
+    * rounds — the oracle-replay mode). */
+  def run(edges: DataFrame, vertices: DataFrame, iterations: Int,
+      tolerance: Double = 1e-8, quantize: Double = 0.0): DataFrame = {
+    require(iterations > 0, "iterations must be > 0")
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .dropDuplicates("src", "dst").persist()
+    val n = vertices.count()
+    require(n > 0, "empty vertex set")
+
+    def gsum(c: Column): Column =
+      if (quantize > 0) coalesce(sum(round(c * quantize).cast("long")), lit(0L)) / quantize
+      else coalesce(sum(c), lit(0.0))
+    def grid(c: Column): Column =
+      if (quantize > 0) round(c * quantize) / quantize else c
+
+    val ids = vertices.select(col("id").cast("long").as("id"))
+    val init = ids.select(explode(array(lit(0L), lit(1L))).as("seed"),
+      col("id").as("node"), lit(1.0 / n).as("score"))
+
+    def superstep(state: DataFrame, i: Int): DataFrame = {
+      val hub = state.where(col("seed") === 1).select(col("node"), col("score"))
+      val araw = ids.join(
+          hub.join(e, hub("node") === e("src"))
+            .groupBy(col("dst").as("nid")).agg(gsum(col("score")).as("raw")),
+          ids("id") === col("nid"), "left")
+        .select(col("id").as("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      val auth = araw.crossJoin(broadcast(araw.agg(gsum(col("raw")).as("s"))))
+        .select(col("node"), grid(col("raw") / col("s")).as("score"))
+      val hraw = ids.join(
+          auth.join(e, auth("node") === e("dst"))
+            .groupBy(col("src").as("nid")).agg(gsum(col("score")).as("raw")),
+          ids("id") === col("nid"), "left")
+        .select(col("id").as("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      val hubNext = hraw.crossJoin(broadcast(hraw.agg(gsum(col("raw")).as("s"))))
+        .select(col("node"), grid(col("raw") / col("s")).as("score"))
+      auth.select(lit(0L).as("seed"), col("node"), col("score"))
+        .union(hubNext.select(lit(1L).as("seed"), col("node"), col("score")))
+    }
+
+    val res = IterativeEngine.run(init, superstep, iterations, tolerance)
+    e.unpersist()
+    res.state.groupBy(col("node"))
+      .agg(min(when(col("seed") === 0, col("score"))).as("auth"),
+        min(when(col("seed") === 1, col("score"))).as("hub"))
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, PageRank, Triangles}
+import graft.operators.{Components, Hits, PageRank, Triangles}
 import graft.sources.EdgeSource
 
 class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
@@ -18,6 +18,40 @@ class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
       for (v <- vids) assert(math.abs(got(v) - 1.0 / n) < 1e-8)
       assert(math.abs(got.values.sum - 1.0) < 1e-9)
     }
+  }
+
+  test("hits: star graph concentrates authority on the center, hubs on leaves") {
+    // leaves 1..5 -> center 0
+    val got = Hits.run(edgesDf(starIn(5)), verticesDf(0L to 5L), iterations = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(got(0L)._1 - 1.0) < 1e-9) // all authority at the center
+    assert(got(0L)._2 == 0.0)                 // the center points nowhere
+    for (l <- 1L to 5L) {
+      assert(got(l)._1 == 0.0)                        // leaves receive nothing
+      assert(math.abs(got(l)._2 - 0.2) < 1e-9)        // uniform hubs
+    }
+  }
+
+  test("hits: auth equals hub on a symmetric graph; both L1-normalize to 1") {
+    val es = randomGraph(30, 60, seed = 11).filter(e => e._1 != e._2)
+    val sym = es ++ es.map(_.swap)
+    val rows = Hits.run(edgesDf(sym), verticesDf(0L until 30L), iterations = 40,
+        tolerance = 1e-12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // auth lags hub by half a step, so finite-iteration equality is
+    // approximate (tightens with the spectral gap)
+    for ((v, a, h) <- rows) assert(math.abs(a - h) < 1e-6, s"v=$v: $a vs $h")
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+  }
+
+  test("hits: fixed-point grid run is partitioning-invariant") {
+    val es = randomGraph(40, 90, seed = 3)
+    def run(parts: Int) =
+      Hits.run(edgesDf(es).repartition(parts), verticesDf(0L until 40L),
+        iterations = 8, tolerance = -1, quantize = 1e12)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(run(2).sameElements(run(7)))
   }
 
   test("pagerank: dangling mass is redistributed (scores still sum to 1)") {
