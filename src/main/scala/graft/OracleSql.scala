@@ -80,6 +80,27 @@ object OracleSql {
        |${pprChain(iterations, damping, "seeds", "s")}
        |SELECT seed, node, score FROM s$iterations""".stripMargin
 
+  /** TrustRank (operators/ExactPpr.runVector): the power-iteration chain
+    * with a teleport VECTOR uniform over the trusted set {id % mod = 0},
+    * one ranking vector, same preserved dangling leak and grid sums. */
+  def trustRank(iterations: Int, damping: Double, mod: Int): String = {
+    val tele = dlit(1.0 - damping)
+    val steps = (1 to iterations).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT node, ${gridSum("score")} AS score FROM (
+         |   SELECT a.dst AS node, s.score * a.factor AS score
+         |   FROM p${i - 1} s JOIN adj a ON s.node = a.src
+         |   UNION ALL SELECT node, $tele * mass AS score FROM t0)
+         | GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graphCtes(damping)},
+       | tr AS MATERIALIZED (SELECT id FROM v WHERE id % $mod = 0),
+       | ntr AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nt FROM tr),
+       | t0 AS MATERIALIZED (SELECT id AS node, ${dlit(1.0)} / nt AS mass FROM tr CROSS JOIN ntr),
+       | p0 AS MATERIALIZED (SELECT node, mass AS score FROM t0),
+       |$steps
+       |SELECT node, score FROM p$iterations""".stripMargin
+  }
+
   /** WEIGHTED exact PPR: same power-iteration chain over a weighted
     * adjacency (factor d*w/sum_out w, weight = summed integer l_quantity
     * per pair — the contract of OracleSql.pageRankWeighted). */

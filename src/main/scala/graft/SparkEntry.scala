@@ -172,6 +172,15 @@ object SparkEntry {
     }),
     // weighted personalized PPR (r4): same weighting contract as
     // q_pagerank_weighted, on the exact power-iteration engine
+    // teleport-vector PPR: uniform restart over the trusted set {id%37=0}
+    // — TrustRank; one vector instead of one per trusted page
+    "q_trustrank" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      val trusted = v.where(pmod(col("id"), lit(37)) === 0)
+      val nT = trusted.count()
+      ExactPpr.runVector(e, trusted.select(col("id"), lit(1.0 / nT).as("mass")),
+        iterations = 15, damping = 0.85, tolerance = -1, quantize = 1e12)
+    }),
     "q_exact_ppr_weighted" -> ((s, dir) => {
       val e = weightedEdges(s, dir)
       val v = EdgeSource.vertices(e.select(col("src"), col("dst")))
@@ -605,6 +614,7 @@ object SparkEntry {
       queryBound = 50, nCells = 16, nProbe = 4, dims = 64),
     // ---- iterative operators: unrolled-CTE oracles (fixed-point mode) -----
     "q_exact_ppr" -> OracleSql.exactPpr(iterations = 15, damping = 0.85, nSeeds = 10),
+    "q_trustrank" -> OracleSql.trustRank(iterations = 15, damping = 0.85, mod = 37),
     "q_push_ppr" -> OracleSql.pushPpr(iterations = 8, rmax = 1e-4, damping = 0.85, nSeeds = 10),
     "q_push_ppr_weighted" -> OracleSql.pushPprWeighted(iterations = 8, rmax = 1e-4, damping = 0.85, nSeeds = 10),
     "q_grank_weighted" -> OracleSql.grankWeighted(k = 10, l = 20, iterations = 6, damping = 0.85),

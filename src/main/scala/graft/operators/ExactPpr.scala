@@ -31,20 +31,7 @@ object ExactPpr {
     require(iterations > 0, "iterations must be > 0")
     require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
 
-    // a `weight` edge column switches the push factor to d*w(u,v)/sum_out w(u)
-    // (same weighting contract as PageRank; integer weights keep the factor
-    // a single exact-operand IEEE division for hash-exact oracle replay)
-    val weighted = edges.columns.contains("weight")
-    val pos = if (weighted) edges.where(col("weight") > 0) else edges
-    val srcNorm =
-      if (weighted) pos.groupBy(col("src")).agg(sum(col("weight")).as("norm"))
-      else pos.groupBy(col("src")).agg(count(lit(1)).as("norm"))
-    // adjacency with the push factor, reused every superstep
-    val adj = pos.join(srcNorm, "src")
-      .select(col("src"), col("dst"),
-        (if (weighted) lit(damping) * col("weight") / col("norm")
-         else lit(damping) / col("norm")).as("factor"))
-      .persist()
+    val adj = adjacency(edges, damping).persist()
 
     val init = seeds.select(col("id").as("seed"), col("id").as("node"), lit(1.0).as("score"))
     val teleport = seeds
@@ -67,4 +54,54 @@ object ExactPpr {
   def single(edges: DataFrame, vertices: DataFrame, source: Long,
       iterations: Int = 100, damping: Double = 0.85, tolerance: Double = 1e-4): DataFrame =
     run(edges, vertices.where(col("id") === source), iterations, damping, tolerance)
+
+  /** Teleport-VECTOR personalized PageRank — TrustRank (Gyöngyi,
+    * Garcia-Molina & Pedersen, "Combating web spam with TrustRank", 2004)
+    * and any other biased-restart ranking: the restart distribution is a
+    * relation (id, mass) instead of one seed per row, and ONE ranking
+    * vector comes back as (node, score). Same loop, same push factor, same
+    * preserved dangling leak as the single-source engine; by linearity the
+    * result equals Σ_t mass(t) · ppr_t, but runs as one iteration instead
+    * of |T| — the 100-TB shape when the trusted set is large. */
+  def runVector(
+      edges: DataFrame,
+      teleport: DataFrame, // (id LONG, mass DOUBLE)
+      iterations: Int = 100,
+      damping: Double = 0.85,
+      tolerance: Double = 1e-4,
+      quantize: Double = 0.0): DataFrame = {
+    require(iterations > 0, "iterations must be > 0")
+    require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
+    val adj = adjacency(edges, damping).persist()
+    val init = teleport.select(lit(0L).as("seed"), col("id").as("node"),
+      col("mass").as("score"))
+    val tele = teleport.select(lit(0L).as("seed"), col("id").as("node"),
+      (lit(1.0 - damping) * col("mass")).as("score")).persist()
+    def superstep(state: DataFrame, i: Int): DataFrame =
+      state.join(adj, state("node") === adj("src"))
+        .select(col("seed"), col("dst").as("node"), (col("score") * col("factor")).as("score"))
+        .union(tele)
+        .groupBy(col("seed"), col("node"))
+        .agg(graft.kernels.TopK.sumScore(quantize))
+    val res = IterativeEngine.run(init, superstep, iterations, tolerance)
+    adj.unpersist()
+    res.state.select(col("node"), col("score"))
+  }
+
+  /** Push-factor adjacency shared by the seed-per-row and teleport-vector
+    * entry points. A `weight` edge column switches the factor to
+    * d*w(u,v)/sum_out w(u) (the engine-wide weighting contract; integer
+    * weights keep it a single exact-operand IEEE division for hash-exact
+    * oracle replay). */
+  private def adjacency(edges: DataFrame, damping: Double): DataFrame = {
+    val weighted = edges.columns.contains("weight")
+    val pos = if (weighted) edges.where(col("weight") > 0) else edges
+    val srcNorm =
+      if (weighted) pos.groupBy(col("src")).agg(sum(col("weight")).as("norm"))
+      else pos.groupBy(col("src")).agg(count(lit(1)).as("norm"))
+    pos.join(srcNorm, "src")
+      .select(col("src"), col("dst"),
+        (if (weighted) lit(damping) * col("weight") / col("norm")
+         else lit(damping) / col("norm")).as("factor"))
+  }
 }

@@ -295,4 +295,30 @@ class PprSpec extends AnyFunSuite with GraphFixtures {
     PushPpr.run(es, verticesDf(Seq(0L)), rmax = 1e-4, iterations = 2,
       damping = 1.0, tolerance = -1)
   }
+
+  test("runVector (TrustRank): linearity — uniform two-seed teleport equals the per-seed average") {
+    val es = randomGraph(30, 70, seed = 21)
+    val edges = edgesDf(es)
+    val seeds = verticesDf(Seq(3L, 9L))
+    val per = ExactPpr.run(edges, seeds, iterations = 30, tolerance = -1)
+      .collect().groupBy(_.getLong(1))
+      .view.mapValues(_.map(_.getDouble(2)).sum / 2.0).toMap
+    val vec = ExactPpr.runVector(edges,
+        seeds.select(col("id"), lit(0.5).as("mass")), iterations = 30, tolerance = -1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(per.keySet == vec.keySet)
+    for ((n, s) <- per) assert(math.abs(s - vec(n)) < 1e-9, s"node $n")
+  }
+
+  test("runVector: total mass stays <= 1 and teleport set dominates its own ranking") {
+    // star-out from trusted center 0: center keeps the teleport share
+    val vec = ExactPpr.runVector(edgesDf(starOut(5)),
+        verticesDf(Seq(0L)).select(col("id"), lit(1.0).as("mass")),
+        iterations = 50, tolerance = -1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vec.values.sum <= 1.0 + 1e-9)
+    assert(math.abs(vec(0L) - 0.15) < 1e-9) // pushes out, nothing returns
+    // leaves: fixpoint 0.85 * score(0) / 5, leaves are dangling (leak)
+    for (l <- 1L to 5L) assert(math.abs(vec(l) - 0.85 * 0.15 / 5) < 1e-9, s"leaf $l")
+  }
 }
