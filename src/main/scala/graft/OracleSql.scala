@@ -492,6 +492,43 @@ object OracleSql {
        |SELECT node, score FROM p$iterations""".stripMargin
   }
 
+  /** Host-graph projection (operators/Coarsen.project with grp = id % mod):
+    * the weighted super-graph of the lineitem page graph. */
+  def hostGraph(mod: Int): String =
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem)
+       |SELECT src % $mod AS src, dst % $mod AS dst, count(*) AS weight
+       |FROM e WHERE src % $mod <> dst % $mod GROUP BY 1, 2""".stripMargin
+
+  /** Two-level PageRank (Coarsen.project then the weighted PageRank chain
+    * on the host graph): same grid sums, teleport, and uniform dangling
+    * redistribution as [[pageRankWeighted]], over the projected edges. */
+  def hostPageRank(iterations: Int, damping: Double, mod: Int): String = {
+    val leakSum = gridSum("score")
+    val steps = (1 to iterations).map { i =>
+      s"""lk$i AS MATERIALIZED (SELECT coalesce($leakSum, ${dlit(0.0)}) AS leak
+         |   FROM p${i - 1} s LEFT JOIN ws ON s.node = ws.src WHERE ws.src IS NULL),
+         |p$i AS MATERIALIZED (SELECT node, ${gridSum("score")} AS score FROM (
+         |   SELECT v.id AS node, base1 + base2 * lk.leak AS score FROM v CROSS JOIN lk$i lk CROSS JOIN consts
+         |   UNION ALL
+         |   SELECT a.dst AS node, s.score * a.factor AS score
+         |   FROM p${i - 1} s JOIN adj a ON s.node = a.src)
+         | GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       | pv AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       | ew AS MATERIALIZED (SELECT src % $mod AS src, dst % $mod AS dst,
+       |   count(*) AS w FROM e WHERE src % $mod <> dst % $mod GROUP BY 1, 2),
+       | v AS MATERIALIZED (SELECT DISTINCT id % $mod AS id FROM pv),
+       | ws AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM ew GROUP BY 1),
+       | adj AS MATERIALIZED (SELECT ew.src, ew.dst, ${dlit(damping)} * ew.w / ws.wsum AS factor
+       |   FROM ew JOIN ws USING (src)),
+       | n1 AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       | consts AS MATERIALIZED (SELECT ${dlit(1.0 - damping)} / n AS base1, ${dlit(damping)} / n AS base2, n FROM n1),
+       | p0 AS MATERIALIZED (SELECT id AS node, ${dlit(1.0)} / n AS score FROM v CROSS JOIN consts),
+       |$steps
+       |SELECT node, score FROM p$iterations""".stripMargin
+  }
+
   /** Synchronous label propagation, fixed rounds, undirected closure
     * (operators/Components.labelPropagation): most frequent neighbor label,
     * ties -> smallest label, isolated vertices keep their label. */

@@ -232,6 +232,19 @@ object SparkEntry {
     }),
     // weighted variant (r4): edge weight = summed integer quantity per pair
     // (stand-in for anchor-text / link-frequency weights on a web graph)
+    // host-graph projection (page -> host = id%97) + two-level PageRank:
+    // the weighted contract makes the coarse graph a drop-in input
+    "q_host_graph" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      Coarsen.project(e, v.select(col("id"), pmod(col("id"), lit(97)).as("grp")))
+    }),
+    "q_host_pagerank" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      val mapping = v.select(col("id"), pmod(col("id"), lit(97)).as("grp"))
+      PageRank.run(Coarsen.project(e, mapping),
+        mapping.select(col("grp").as("id")).distinct(),
+        iterations = 15, damping = 0.85, tolerance = -1, quantize = 1e12)
+    }),
     "q_pagerank_weighted" -> ((s, dir) => {
       val e = weightedEdges(s, dir)
       PageRank.run(e, EdgeSource.vertices(e.select(col("src"), col("dst"))),
@@ -623,6 +636,8 @@ object SparkEntry {
     "q_hits" -> OracleSql.hits(iterations = 12),
     "q_pagerank" -> OracleSql.pageRank(iterations = 40, damping = 0.85),
     "q_pagerank_weighted" -> OracleSql.pageRankWeighted(iterations = 15, damping = 0.85),
+    "q_host_graph" -> OracleSql.hostGraph(mod = 97),
+    "q_host_pagerank" -> OracleSql.hostPageRank(iterations = 15, damping = 0.85, mod = 97),
     "q_mc_ppr" -> OracleSql.mcPpr(k = 10, l = 20, r = 30, damping = 0.85, salt = 42L, maxSteps = 64),
     "q_mc_ppr_join" -> OracleSql.mcPpr(k = 10, l = 20, r = 30, damping = 0.85, salt = 42L, maxSteps = 64),
     "q_label_propagation" -> OracleSql.labelPropagation(rounds = 4),

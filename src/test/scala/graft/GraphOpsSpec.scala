@@ -20,6 +20,20 @@ class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
     }
   }
 
+  test("coarsen: group-pair weights count page edges; intra-group edges drop by default") {
+    val s = spark
+    import s.implicits._
+    // groups: 0,1 -> A(0); 2,3 -> B(1)
+    val mapping = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)).toDF("id", "grp")
+    val edges = edgesDf(Seq((0L, 2L), (1L, 2L), (1L, 3L), (0L, 1L), (2L, 0L)))
+    val got = graft.operators.Coarsen.project(edges, mapping)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 1L) -> 3L, (1L, 0L) -> 1L)) // 0->1 intra-A dropped
+    val withSelf = graft.operators.Coarsen.project(edges, mapping, dropIntra = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(withSelf == Map((0L, 1L) -> 3L, (1L, 0L) -> 1L, (0L, 0L) -> 1L))
+  }
+
   test("hits: star graph concentrates authority on the center, hubs on leaves") {
     // leaves 1..5 -> center 0
     val got = Hits.run(edgesDf(starIn(5)), verticesDf(0L to 5L), iterations = 10)
