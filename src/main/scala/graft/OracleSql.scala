@@ -622,7 +622,11 @@ object OracleSql {
     * per-row column math, mirrored term by term (token regex, stopword-hit
     * argmax with position bonus, band/ratio quality formula). All divisions
     * and products run on identical doubles in both engines — bit-exact. */
-  def textAnnotate(): String = {
+  /** Shared annotate chain (functions/TextAnalysis.annotate): CTEs
+    * t/h/q/comp/ann over `corpusSql` — a relation with (doc_id, text) plus
+    * any `carry` columns threaded through to `ann`, which exposes
+    * (doc_id[, carry...], lang_pred, n_tokens, quality). */
+  private def annotateCtes(corpusSql: String, carry: Seq[String]): String = {
     import graft.functions.TextAnalysis.stopwords
     val langs = Seq("en", "de", "fr", "it", "es")
     def hit(l: String): String =
@@ -633,14 +637,15 @@ object OracleSql {
     val argmax = langs.zip(bonus).init
       .map { case (l, b) => s"WHEN $b THEN '$l'" }
       .mkString(s"CASE greatest(${bonus.mkString(", ")}) ", " ", s" ELSE '${langs.last}' END")
-    s"""WITH t AS MATERIALIZED (
-       |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents),
+    val c = carry.map(", " + _).mkString
+    s"""t AS MATERIALIZED (
+       |  SELECT doc_id, text$c, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM $corpusSql),
        | h AS MATERIALIZED (
-       |  SELECT doc_id, text, toks,
+       |  SELECT doc_id, text$c, toks,
        |    $hitCols
        |  FROM t),
        | q AS MATERIALIZED (
-       |  SELECT doc_id, toks, h_en, h_de, h_fr, h_it, h_es,
+       |  SELECT doc_id$c, toks, h_en, h_de, h_fr, h_it, h_es,
        |    CAST(length(text) AS DOUBLE) AS n,
        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
        |    CAST(length(regexp_replace(text, '[^.,;:!?"'']', '', 'g')) AS DOUBLE) AS punct,
@@ -651,21 +656,41 @@ object OracleSql {
        |         ELSE ${dlit(0.0)} END AS mwl
        |  FROM h),
        | comp AS MATERIALIZED (
-       |  SELECT doc_id, toks, h_en, h_de, h_fr, h_it, h_es,
+       |  SELECT doc_id$c, toks, h_en, h_de, h_fr, h_it, h_es,
        |    CASE WHEN n > 0 THEN alpha / n ELSE ${dlit(0.0)} END AS alpha_ratio,
        |    CASE WHEN n > 0 THEN punct / n ELSE ${dlit(0.0)} END AS punct_ratio,
        |    CASE WHEN ntok > 0 THEN stophits / ntok ELSE ${dlit(0.0)} END AS stopword_ratio,
        |    CASE WHEN n >= 200 AND n <= 20000 THEN ${dlit(1.0)} WHEN n >= 50 THEN ${dlit(0.5)} ELSE ${dlit(0.0)} END AS len_band,
        |    CASE WHEN mwl >= 3 AND mwl <= 10 THEN ${dlit(1.0)} ELSE ${dlit(0.3)} END AS word_band
-       |  FROM q)
-       |SELECT doc_id,
-       |  CASE WHEN $rawMax = 0 THEN 'und' ELSE $argmax END AS lang_pred,
-       |  CAST(len(toks) AS BIGINT) AS n_tokens,
-       |  len_band * ${dlit(0.25)} + word_band * ${dlit(0.15)} + alpha_ratio * ${dlit(0.25)}
-       |    + (${dlit(1.0)} - least(punct_ratio * 5, ${dlit(1.0)})) * ${dlit(0.15)}
-       |    + least(stopword_ratio * 4, ${dlit(1.0)}) * ${dlit(0.2)} AS quality
-       |FROM comp""".stripMargin
+       |  FROM q),
+       | ann AS MATERIALIZED (
+       |  SELECT doc_id$c,
+       |    CASE WHEN $rawMax = 0 THEN 'und' ELSE $argmax END AS lang_pred,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    len_band * ${dlit(0.25)} + word_band * ${dlit(0.15)} + alpha_ratio * ${dlit(0.25)}
+       |      + (${dlit(1.0)} - least(punct_ratio * 5, ${dlit(1.0)})) * ${dlit(0.15)}
+       |      + least(stopword_ratio * 4, ${dlit(1.0)}) * ${dlit(0.2)} AS quality
+       |  FROM comp)""".stripMargin
   }
+
+  def textAnnotate(): String =
+    s"""WITH ${annotateCtes("documents", Nil)}
+       |SELECT doc_id, lang_pred, n_tokens, quality FROM ann""".stripMargin
+
+  /** Corpus-prep composition (SparkEntry q_corpus_prep): planted-duplicate
+    * corpus -> exact dedup (min doc_id per text) -> annotate -> keep
+    * lang_pred = 'en' AND quality >= threshold -> per-source stats with a
+    * grid-summed average (one division of exact operands). */
+  def corpusPrep(quality: Double): String =
+    s"""WITH dup AS MATERIALIZED (SELECT doc_id, text, source FROM documents
+       |   UNION ALL SELECT doc_id + 1000000, text, source FROM documents),
+       | keep AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM dup GROUP BY text),
+       | corpus AS MATERIALIZED (SELECT d.doc_id, d.text, d.source FROM dup d JOIN keep USING (doc_id)),
+       | ${annotateCtes("corpus", Seq("source"))},
+       | filt AS MATERIALIZED (SELECT * FROM ann WHERE lang_pred = 'en' AND quality >= ${dlit(quality)})
+       |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  ${gridSum("quality")} / count(*) AS avg_quality
+       |FROM filt GROUP BY 1""".stripMargin
 
   /** Multimodal metadata decode (functions/Multimodal.decodeMeta over the
     * mix31-synthesized corpus): every header field regenerated from

@@ -378,6 +378,20 @@ object SparkEntry {
         TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))),
     // fingerprint columns (xxhash64-based, ScalaTest-gated) are kept out of
     // the driver row: the oracle mirrors the SQL-expressible annotations
+    // the end-to-end training-corpus prep pipeline as ONE composition:
+    // planted-dup corpus -> exact dedup -> annotate -> lang+quality filter
+    // -> per-source stats (grid-summed average)
+    "q_corpus_prep" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+      val dup = d0.union(d0.select(col("doc_id") + 1000000L, col("text"), col("source")))
+      val keep = Dedup.exact(dup, "doc_id", "text").select(col("keep_id").as("doc_id"))
+      val ann = TextAnalysis.annotate(dup.join(keep, "doc_id"))
+      ann.where(col("lang_pred") === "en" && col("quality") >= 0.7)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          ((sum(round(col("quality") * 1e12).cast("long")) / 1e12) / count(lit(1)))
+            .as("avg_quality"))
+    }),
     "q_text_annotate" -> ((s, dir) =>
       TextAnalysis.annotate(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality"))),
@@ -617,6 +631,7 @@ object SparkEntry {
     "q_minhash_neardup_t07" -> OracleSql.minhashNearDup(nearDupTail, k = 3,
       bands = 8, rowsPerBand = 4, threshold = 0.7, salt = 42L),
     "q_text_annotate" -> OracleSql.textAnnotate(),
+    "q_corpus_prep" -> OracleSql.corpusPrep(quality = 0.7),
     "q_id_collision_audit" -> OracleSql.idCollisionAudit(modulus = 257),
     "q_multimodal_meta" -> OracleSql.multimodalMeta(n = 200, seed = 42L),
     "q_media_features" -> OracleSql.mediaFeatures(n = 200, seed = 42L),
