@@ -37,7 +37,9 @@ object Bench {
     "q_sessionize_stream", "q_hyperball", "q_reciprocity", "q_transitivity",
     "q_exact_ppr_weighted",
     // round-5 additions
-    "q_grank_weighted", "q_push_ppr_weighted", "q_ann_recall")
+    "q_grank_weighted", "q_push_ppr_weighted", "q_ann_recall",
+    "q_scc", "q_hits", "q_harmonic", "q_trustrank", "q_host_pagerank",
+    "q_dedup_clusters", "q_corpus_prep")
 
   private def session(cores: Int, shufflePartitions: Int): SparkSession = {
     new java.io.File("/dev/shm/graft-spark").mkdirs()

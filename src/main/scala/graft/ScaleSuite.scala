@@ -72,7 +72,20 @@ object ScaleSuite {
         "push_ppr_i8" -> (() => PushPpr.run(edges,
           vertices.orderBy(col("id")).limit(10), rmax = 1e-4, iterations = 8,
           damping = 0.85, tolerance = -1).state),
-        "clustering_coeff" -> (() => Triangles.clusteringCoefficient(edges, vertices)))
+        "clustering_coeff" -> (() => Triangles.clusteringCoefficient(edges, vertices)),
+        // round-5 additions
+        "scc" -> (() => Scc.scc(edges, vertices)),
+        "hits_i8" -> (() => Hits.run(edges, vertices, iterations = 8, tolerance = -1)),
+        "harmonic_r4" -> (() => HyperBall.centralities(edges, vertices, rounds = 4)),
+        "trustrank_i10" -> (() => ExactPpr.runVector(edges,
+          vertices.where(pmod(col("id"), lit(97)) === 0)
+            .select(col("id"), lit(1e-4).as("mass")),
+          iterations = 10, damping = 0.85, tolerance = -1)),
+        "host_pagerank_i10" -> (() => {
+          val m = vertices.select(col("id"), pmod(col("id"), lit(9973)).as("grp"))
+          PageRank.run(Coarsen.project(edges, m),
+            m.select(col("grp").as("id")).distinct(), iterations = 10, tolerance = -1)
+        }))
 
       val walls = suite.map { case (name, fn) =>
         val t0 = System.nanoTime()
