@@ -72,14 +72,19 @@ object Components {
         coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
       (row.getLong(0), row.getLong(1))
     }
-    var e = EdgeSource.undirected(edges)
+    // every cut routes through the stats barrier: largeStar/smallStar join
+    // e against mins DERIVED FROM e, so the localCheckpoint stats-carry
+    // doubles the sizeInBytes BigInt's bit-length per round (the Scc
+    // pathology — see StatsBarrier's Scaladoc)
+    import org.apache.spark.sql.graft.StatsBarrier.statsBarrier
+    var e = statsBarrier(EdgeSource.undirected(edges)
       .where(col("src") < col("dst")) // one canonical row per undirected pair
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     var fp = fingerprint(e)
     var done = e.isEmpty
     var i = 0
     while (!done && i < maxIterations) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = statsBarrier(smallStar(largeStar(e)).localCheckpoint(true))
       val nfp = fingerprint(next)
       done = nfp == fp
       fp = nfp

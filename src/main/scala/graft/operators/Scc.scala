@@ -39,60 +39,76 @@ import graft.kernels.IterTuning
   * to same-class endpoints (the restricted set only SHRINKS as components
   * finalize — like star-contraction's geometric edge decay), then ONE
   * fused min-propagation fixpoint — forward and backward labels ride the
-  * same direction-tagged state frame, so each superstep is a single gather
-  * exchange with a map-side-combinable min aggregation (a 10^7-in-degree
-  * hub's incoming labels partial-aggregate before the shuffle — no hub
-  * funnels its in-degree into one sorter). Propagation rounds are bounded
-  * by the in-class forward diameter — small for web graphs (effective
-  * diameter O(log n)); refinement rounds by the reachability-class
-  * structure, which for the web's bow tie is a handful (the giant CORE
-  * finalizes as soon as its class minimum lands inside it — on the driver
-  * fixture: 6 refinement rounds, ≤23 propagation rounds). The convergence
-  * probes are 1-row count actions on checkpointed frames, the audited
-  * pattern every other iterative operator here uses.
+  * same direction-tagged state frame, so each superstep is a single
+  * union + map-side-combinable min-aggregation exchange (the HyperBall
+  * gather shape; a 10^7-in-degree hub's incoming labels partial-aggregate
+  * before the shuffle). The convergence probe is label monotonicity: the
+  * exact DECIMAL(38,0) label sum strictly decreases until the fixpoint —
+  * one 1-row aggregation per round, no compare join. Propagation rounds
+  * are bounded by the in-class forward diameter — small for web graphs
+  * (effective diameter O(log n)); refinement rounds by the
+  * reachability-class structure, a handful for the web's bow tie (driver
+  * fixture: 6 refinement rounds, ≤26 propagation rounds).
+  *
+  * Every lineage cut routes through StatsBarrier.statsBarrier: this
+  * operator is the worst case of Spark 4's localCheckpoint stats-carry
+  * pathology (cand = fwd ⋈ bwd and e ⋈ active ⋈ active double the carried
+  * sizeInBytes BigInt's bit-length at every cut; measured 0.4 s → 76 s per
+  * superstep before the barrier — see StatsBarrier's Scaladoc).
   */
 object Scc {
+
+  import org.apache.spark.sql.graft.StatsBarrier.statsBarrier
+
+  /** A lineage cut: `frame` is the stats-fresh view downstream code reads;
+    * `blocks` owns the checkpoint blocks for freeing. */
+  private final case class Cut(frame: DataFrame, blocks: DataFrame)
+  private def cut(df: DataFrame): Cut = {
+    val ck = df.localCheckpoint(true)
+    Cut(statsBarrier(ck), ck)
+  }
+  private def free(c: Cut): Unit = IterativeEngine.freeCheckpointBlocks(c.blocks)
 
   /** (id, scc) with scc = minimum vertex id of v's strongly connected
     * component. Self-loops are irrelevant to SCC membership and dropped. */
   def scc(edges: DataFrame, vertices: DataFrame, maxRefineRounds: Int = 30,
       maxPropagateRounds: Int = 500): DataFrame =
     IterTuning.withoutRuntimeFilters(edges.sparkSession) {
-      val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      val e0 = cut(edges
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
         .where(col("src") =!= col("dst"))
-        .dropDuplicates("src", "dst")
-        .localCheckpoint(true)
-      var active = vertices.select(col("id").cast("long").as("id"),
-        lit(0L).as("cf"), lit(0L).as("cb")).localCheckpoint(true)
+        .dropDuplicates("src", "dst"))
+      var active = cut(vertices.select(col("id").cast("long").as("id"),
+        lit(0L).as("cf"), lit(0L).as("cb")))
       var finalized = List.empty[DataFrame]
-      var activeCount = active.count()
+      var activeCount = active.frame.count()
       var round = 0
       while (activeCount > 0 && round < maxRefineRounds) {
-        val a1 = active.select(col("id").as("sid"), col("cf").as("scf"), col("cb").as("scb"))
-        val a2 = active.select(col("id").as("did"), col("cf").as("dcf"), col("cb").as("dcb"))
-        val eAct = e0
-          .join(a1, e0("src") === a1("sid"))
-          .join(a2, e0("dst") === a2("did"))
+        val a1 = active.frame.select(col("id").as("sid"), col("cf").as("scf"), col("cb").as("scb"))
+        val a2 = active.frame.select(col("id").as("did"), col("cf").as("dcf"), col("cb").as("dcb"))
+        val eAct = cut(e0.frame
+          .join(a1, e0.frame("src") === a1("sid"))
+          .join(a2, e0.frame("dst") === a2("did"))
           .where(col("scf") === col("dcf") && col("scb") === col("dcb"))
-          .select(col("src"), col("dst"))
-          .localCheckpoint(true)
-        val cand = biMinPropagate(eAct, active.select(col("id")), maxPropagateRounds)
-          .localCheckpoint(true)
-        IterativeEngine.freeCheckpointBlocks(eAct)
-        finalized ::= cand.where(col("f") === col("b"))
-          .select(col("id"), col("f").as("scc")).localCheckpoint(true)
+          .select(col("src"), col("dst")))
+        val cand = cut(biMinPropagate(eAct.frame, active.frame.select(col("id")),
+          maxPropagateRounds))
+        free(eAct)
+        // finalized frames are kept alive to the end — only their Cut
+        // bookkeeping wrapper is dropped
+        finalized ::= cut(cand.frame.where(col("f") === col("b"))
+          .select(col("id"), col("f").as("scc"))).frame
         val prevActive = active
-        active = cand.where(col("f") =!= col("b"))
-          .select(col("id"), col("f").as("cf"), col("b").as("cb"))
-          .localCheckpoint(true)
-        IterativeEngine.freeCheckpointBlocks(prevActive)
-        IterativeEngine.freeCheckpointBlocks(cand)
-        activeCount = active.count()
+        active = cut(cand.frame.where(col("f") =!= col("b"))
+          .select(col("id"), col("f").as("cf"), col("b").as("cb")))
+        free(prevActive)
+        free(cand)
+        activeCount = active.frame.count()
         round += 1
       }
       require(activeCount == 0,
         s"SCC refinement did not converge within $maxRefineRounds rounds ($activeCount vertices open)")
-      IterativeEngine.freeCheckpointBlocks(e0)
+      free(e0)
       finalized.reduce(_ union _)
     }
 
@@ -113,15 +129,15 @@ object Scc {
         .agg(min(struct((-col("n")).as("negN"), col("scc").as("s"))).as("best"))
         .head()
       val core = coreRow.getStruct(0).getLong(1)
-      val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      val e0 = cut(edges
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
         .where(col("src") =!= col("dst"))
-        .dropDuplicates("src", "dst")
-        .localCheckpoint(true)
+        .dropDuplicates("src", "dst"))
       val ids = vertices.select(col("id").cast("long").as("id"))
       // dir 0: flood along edges (descendants of core = OUT ∪ CORE);
       // dir 1: flood along reversed edges (ancestors = IN ∪ CORE)
-      val reach = biReachableFrom(e0, ids, core, maxPropagateRounds)
-      IterativeEngine.freeCheckpointBlocks(e0)
+      val reach = biReachableFrom(e0.frame, ids, core, maxPropagateRounds)
+      free(e0)
       comp
         .join(reach, Seq("id"), "left")
         .select(col("id"),
@@ -137,71 +153,83 @@ object Scc {
       .union(e.select(col("dst").as("src"), col("src").as("dst"), lit(1).as("dir")))
 
   /** Fused forward/backward min-label propagation: lab(v, dir) starts at v;
-    * each superstep lab(v, dir) ← min over dir-tagged in-neighbors. One
-    * gather exchange per superstep covers BOTH directions; min partial-
-    * aggregates map-side. Returns (id, f, b). */
+    * each superstep lab(v, dir) ← min(lab(v, dir), dir-tagged in-neighbor
+    * labels) as ONE union + map-side-combinable min aggregation. Returns
+    * (id, f, b). */
   private def biMinPropagate(e: DataFrame, verts: DataFrame, maxRounds: Int): DataFrame = {
-    val eBi = biEdges(e).localCheckpoint(true)
-    var state = verts.select(col("id"), explode(array(lit(0), lit(1))).as("dir"))
-      .select(col("id"), col("dir"), col("id").as("lab"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxRounds) {
-      val nbrMin = state.join(eBi, state("id") === eBi("src") && state("dir") === eBi("dir"))
-        .groupBy(eBi("dst").as("id2"), eBi("dir").as("dir2"))
-        .agg(min(col("lab")).as("nbrLab"))
-      val next = state.join(nbrMin,
-          state("id") === nbrMin("id2") && state("dir") === nbrMin("dir2"), "left")
-        .select(col("id"), col("dir"),
-          least(col("lab"), coalesce(col("nbrLab"), col("lab"))).as("lab"),
-          col("lab").as("prev"))
-        .localCheckpoint(true)
-      changed = next.where(col("lab") =!= col("prev")).count()
-      IterativeEngine.freeCheckpointBlocks(state)
-      state = next.select(col("id"), col("dir"), col("lab"))
-      i += 1
+    val eBi = cut(biEdges(e))
+    var state = cut(verts.select(col("id"), explode(array(lit(0), lit(1))).as("dir"))
+      .select(col("id"), col("dir"), col("id").as("lab")))
+    def labSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lab").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    require(changed == 0, s"min-label propagation still moving after $maxRounds rounds")
-    IterativeEngine.freeCheckpointBlocks(eBi)
-    state.groupBy(col("id"))
+    val debug = sys.env.get("SPARK_GRAFT_ITER_DEBUG").contains("1")
+    var prevSum = labSum(state.frame)
+    var moving = true
+    var i = 0
+    while (moving && i < maxRounds) {
+      val t0 = System.nanoTime()
+      val gathered = state.frame
+        .join(eBi.frame, state.frame("id") === eBi.frame("src") &&
+          state.frame("dir") === eBi.frame("dir"))
+        .select(eBi.frame("dst").as("id"), eBi.frame("dir").as("dir"), col("lab"))
+      val next = cut(state.frame.union(gathered)
+        .groupBy(col("id"), col("dir"))
+        .agg(min(col("lab")).as("lab")))
+      val tMat = System.nanoTime()
+      val curSum = labSum(next.frame)
+      moving = curSum.compareTo(prevSum) != 0
+      prevSum = curSum
+      free(state)
+      state = next
+      i += 1
+      if (debug) System.err.println(s"SCCDEBUG prop round=$i mat=${(tMat - t0) / 1000000}ms " +
+        s"probe=${(System.nanoTime() - tMat) / 1000000}ms")
+    }
+    require(!moving, s"min-label propagation still moving after $maxRounds rounds")
+    free(eBi)
+    state.frame.groupBy(col("id"))
       .agg(min(when(col("dir") === 0, col("lab"))).as("f"),
         min(when(col("dir") === 1, col("lab"))).as("b"))
   }
 
   /** Fused bidirectional reachability flood from `root`:
-    * (id, fromCore BOOLEAN, toCore BOOLEAN). Frontier-based: only newly
-    * reached vertices scatter, so per-round work is proportional to the
-    * frontier, not the reached set. */
+    * (id, fromCore BOOLEAN, toCore BOOLEAN). Same one-exchange union + max
+    * superstep over a 1-bit label; the monotonically non-decreasing
+    * reached-count is the convergence probe. */
   private def biReachableFrom(e: DataFrame, verts: DataFrame, root: Long,
       maxRounds: Int): DataFrame = {
-    val eBi = biEdges(e).localCheckpoint(true)
-    // reached set as (id, dir) rows; frontier = rows added last round
-    var reached = verts.where(col("id") === root)
-      .select(col("id"), explode(array(lit(0), lit(1))).as("dir"))
-      .localCheckpoint(true)
-    var frontier = reached
-    var frontierCount = frontier.count()
+    val eBi = cut(biEdges(e))
+    var state = cut(verts.select(col("id"), explode(array(lit(0), lit(1))).as("dir"))
+      .select(col("id"), col("dir"), (col("id") === root).cast("int").as("reach")))
+    def reachedCount(df: DataFrame): Long = {
+      val r = df.agg(sum(col("reach"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevReached = reachedCount(state.frame)
+    var moving = true
     var i = 0
-    while (frontierCount > 0 && i < maxRounds) {
-      val nxt = frontier.join(eBi, frontier("id") === eBi("src") && frontier("dir") === eBi("dir"))
-        .select(eBi("dst").as("id"), eBi("dir").as("dir"))
-        .distinct()
-      val newFrontier = nxt.join(reached, Seq("id", "dir"), "left_anti").localCheckpoint(true)
-      val prevReached = reached
-      reached = reached.union(newFrontier).localCheckpoint(true)
-      IterativeEngine.freeCheckpointBlocks(prevReached)
-      IterativeEngine.freeCheckpointBlocks(frontier)
-      frontier = newFrontier
-      frontierCount = frontier.count()
+    while (moving && i < maxRounds) {
+      val front = state.frame.where(col("reach") === 1)
+      val gathered = front
+        .join(eBi.frame, front("id") === eBi.frame("src") && front("dir") === eBi.frame("dir"))
+        .select(eBi.frame("dst").as("id"), eBi.frame("dir").as("dir"), front("reach"))
+      val next = cut(state.frame.union(gathered)
+        .groupBy(col("id"), col("dir"))
+        .agg(max(col("reach")).as("reach")))
+      val cur = reachedCount(next.frame)
+      moving = cur != prevReached
+      prevReached = cur
+      free(state)
+      state = next
       i += 1
     }
-    IterativeEngine.freeCheckpointBlocks(eBi)
-    verts.join(reached.where(col("dir") === 0).select(col("id"), lit(true).as("fromCore")),
-        Seq("id"), "left")
-      .join(reached.where(col("dir") === 1).select(col("id"), lit(true).as("toCore")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("fromCore"), lit(false)).as("fromCore"),
-        coalesce(col("toCore"), lit(false)).as("toCore"))
+    free(eBi)
+    state.frame.groupBy(col("id"))
+      .agg(max(when(col("dir") === 0, col("reach"))).as("f0"),
+        max(when(col("dir") === 1, col("reach"))).as("t0"))
+      .select(col("id"), (coalesce(col("f0"), lit(0)) === 1).as("fromCore"),
+        (coalesce(col("t0"), lit(0)) === 1).as("toCore"))
   }
 }
