@@ -871,15 +871,18 @@ object OracleSql {
     * via the inverted-index + exact-Jaccard CTEs; components via the
     * recursive min-propagation CTE; pair-free docs canonicalize to
     * themselves. */
-  def dedupClusters(tail: String, tail2: String, k: Int, threshold: Double): String = {
+  def dedupClusters(tail: String, tail2: String, k: Int, threshold: Double,
+      cap: Int): String = {
     val extra =
       s"""
          |   UNION ALL SELECT doc_id + 2000000, text || '$tail' || '$tail2' FROM documents""".stripMargin
     s"""WITH RECURSIVE
        | ${nearDupShingleCtes(tail, k, extra)},
        | inv AS MATERIALIZED (SELECT id, unnest(sh) AS s FROM sh),
+       | rare AS MATERIALIZED (SELECT s FROM inv GROUP BY s HAVING count(*) <= $cap),
+       | invr AS MATERIALIZED (SELECT inv.id, inv.s FROM inv JOIN rare USING (s)),
        | cand AS MATERIALIZED (SELECT DISTINCT x.id AS id_a, y.id AS id_b
-       |   FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id),
+       |   FROM invr x JOIN invr y ON x.s = y.s AND x.id < y.id),
        | ji AS MATERIALIZED (SELECT c.id_a, c.id_b,
        |    len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
        |   FROM cand c JOIN sh a ON c.id_a = a.id JOIN sh b ON c.id_b = b.id),

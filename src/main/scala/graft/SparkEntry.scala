@@ -427,8 +427,12 @@ object SparkEntry {
     // clusters that only close through the middle copy)
     "q_dedup_clusters" -> ((s, dir) => {
       val d = chainDocs(s, dir)
+      // the CAPPED inverted index (df <= 50) — the 100-TB configuration;
+      // planted chains survive on their doc-specific shingles while
+      // corpus-hot shingles leave candidate generation (oracle replays
+      // the df filter)
       val pairs = Dedup.ngramJaccard(d, "doc_id", "text",
-        threshold = 0.7, maxShingleFreq = Int.MaxValue)
+        threshold = 0.7, maxShingleFreq = 50)
       Dedup.clusters(pairs, d)
     }),
     // the CAPPED inverted index — the actual 100-TB configuration (hot
@@ -625,7 +629,7 @@ object SparkEntry {
     "q_embedding_neardup" ->
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
     "q_ngram_neardup_t07" -> OracleSql.ngramNearDup(nearDupTail, k = 3, threshold = 0.7),
-    "q_dedup_clusters" -> OracleSql.dedupClusters(nearDupTail, nearDupTail2, k = 3, threshold = 0.7),
+    "q_dedup_clusters" -> OracleSql.dedupClusters(nearDupTail, nearDupTail2, k = 3, threshold = 0.7, cap = 50),
     "q_ngram_neardup_capped" -> OracleSql.ngramNearDupCapped(nearDupTail, k = 3,
       threshold = 0.7, cap = 50, hotText = hotFloodText, hotN = hotFloodN),
     "q_minhash_neardup_t07" -> OracleSql.minhashNearDup(nearDupTail, k = 3,
