@@ -52,20 +52,19 @@ object Hits {
     val init = ids.select(explode(array(lit(0L), lit(1L))).as("seed"),
       col("id").as("node"), lit(1.0 / n).as("score"))
 
+    // state is SPARSE: a vertex absent from a vector has score 0 — it
+    // contributes nothing to gathers or normalizers, so the per-iteration
+    // |V|-wide zero-fill joins are unnecessary (two exchanges saved per
+    // round); zeros are joined back once, at the end. The engine's L1 norm
+    // already treats missing entries as 0 (Metrics.norm1PerSeed).
     def superstep(state: DataFrame, i: Int): DataFrame = {
       val hub = state.where(col("seed") === 1).select(col("node"), col("score"))
-      val araw = ids.join(
-          hub.join(e, hub("node") === e("src"))
-            .groupBy(col("dst").as("nid")).agg(gsum(col("score")).as("raw")),
-          ids("id") === col("nid"), "left")
-        .select(col("id").as("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      val araw = hub.join(e, hub("node") === e("src"))
+        .groupBy(col("dst").as("node")).agg(gsum(col("score")).as("raw"))
       val auth = araw.crossJoin(broadcast(araw.agg(gsum(col("raw")).as("s"))))
         .select(col("node"), grid(col("raw") / col("s")).as("score"))
-      val hraw = ids.join(
-          auth.join(e, auth("node") === e("dst"))
-            .groupBy(col("src").as("nid")).agg(gsum(col("score")).as("raw")),
-          ids("id") === col("nid"), "left")
-        .select(col("id").as("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      val hraw = auth.join(e, auth("node") === e("dst"))
+        .groupBy(col("src").as("node")).agg(gsum(col("score")).as("raw"))
       val hubNext = hraw.crossJoin(broadcast(hraw.agg(gsum(col("raw")).as("s"))))
         .select(col("node"), grid(col("raw") / col("s")).as("score"))
       auth.select(lit(0L).as("seed"), col("node"), col("score"))
@@ -74,8 +73,12 @@ object Hits {
 
     val res = IterativeEngine.run(init, superstep, iterations, tolerance)
     e.unpersist()
-    res.state.groupBy(col("node"))
-      .agg(min(when(col("seed") === 0, col("score"))).as("auth"),
-        min(when(col("seed") === 1, col("score"))).as("hub"))
+    val sparse = res.state.groupBy(col("node"))
+      .agg(min(when(col("seed") === 0, col("score"))).as("a0"),
+        min(when(col("seed") === 1, col("score"))).as("h0"))
+    ids.join(sparse, ids("id") === sparse("node"), "left")
+      .select(col("id").as("node"),
+        coalesce(col("a0"), lit(0.0)).as("auth"),
+        coalesce(col("h0"), lit(0.0)).as("hub"))
   }
 }
