@@ -87,7 +87,10 @@ object ScaleSuite {
             m.select(col("grp").as("id")).distinct(), iterations = 10, tolerance = -1)
         }))
 
-      val walls = suite.map { case (name, fn) =>
+      // optional name filter for re-measuring individual operators
+      val only = sys.env.get("SPARK_GRAFT_SUITE_ONLY").map(_.split(',').toSet)
+      val walls = suite.filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         fn().count()
         val sec = (System.nanoTime() - t0) / 1e9

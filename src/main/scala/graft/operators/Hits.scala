@@ -54,24 +54,39 @@ object Hits {
 
     // state is SPARSE: a vertex absent from a vector has score 0 — it
     // contributes nothing to gathers or normalizers, so the per-iteration
-    // |V|-wide zero-fill joins are unnecessary (two exchanges saved per
-    // round); zeros are joined back once, at the end. The engine's L1 norm
-    // already treats missing entries as 0 (Metrics.norm1PerSeed).
+    // |V|-wide zero-fill joins are unnecessary; zeros are joined back once,
+    // at the end. The engine's L1 norm already treats missing entries as 0
+    // (Metrics.norm1PerSeed).
+    //
+    // Each raw gather is CHECKPOINTED before normalizing and the normalizer
+    // is inlined as a LITERAL: the broadcast-subquery form re-executes the
+    // gather subplan for the 1-row aggregate (measured 2x the superstep
+    // cost), while the literal form reads the materialized blocks once —
+    // HITS normalization is a global barrier either way, so the driver
+    // sync adds no extra synchronization (PageRank's two leak plans
+    // measured within noise of each other; here the gather is NOT a cheap
+    // cached scan, which is what tips the choice to literal).
+    var staleBlocks = List.empty[DataFrame]
     def superstep(state: DataFrame, i: Int): DataFrame = {
+      staleBlocks.foreach(IterativeEngine.freeCheckpointBlocks)
       val hub = state.where(col("seed") === 1).select(col("node"), col("score"))
       val araw = hub.join(e, hub("node") === e("src"))
         .groupBy(col("dst").as("node")).agg(gsum(col("score")).as("raw"))
-      val auth = araw.crossJoin(broadcast(araw.agg(gsum(col("raw")).as("s"))))
-        .select(col("node"), grid(col("raw") / col("s")).as("score"))
+        .localCheckpoint(true)
+      val sA = araw.agg(gsum(col("raw")).as("s")).head().getDouble(0)
+      val auth = araw.select(col("node"), grid(col("raw") / lit(sA)).as("score"))
       val hraw = auth.join(e, auth("node") === e("dst"))
         .groupBy(col("src").as("node")).agg(gsum(col("score")).as("raw"))
-      val hubNext = hraw.crossJoin(broadcast(hraw.agg(gsum(col("raw")).as("s"))))
-        .select(col("node"), grid(col("raw") / col("s")).as("score"))
+        .localCheckpoint(true)
+      val sH = hraw.agg(gsum(col("raw")).as("s")).head().getDouble(0)
+      val hubNext = hraw.select(col("node"), grid(col("raw") / lit(sH)).as("score"))
+      staleBlocks = List(araw, hraw)
       auth.select(lit(0L).as("seed"), col("node"), col("score"))
         .union(hubNext.select(lit(1L).as("seed"), col("node"), col("score")))
     }
 
     val res = IterativeEngine.run(init, superstep, iterations, tolerance)
+    staleBlocks.foreach(IterativeEngine.freeCheckpointBlocks)
     e.unpersist()
     val sparse = res.state.groupBy(col("node"))
       .agg(min(when(col("seed") === 0, col("score"))).as("a0"),
