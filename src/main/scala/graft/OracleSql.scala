@@ -183,7 +183,11 @@ object OracleSql {
     * estimate CTE per round (same integer-sum + one-division + linear-
     * counting-branch math as [[hyperball]]), then the fixed-order harmonic
     * and sum-of-distances expression trees over est_0..est_rounds. */
-  def harmonicCentrality(rounds: Int, p: Int, salt: Long): String = {
+  /** Shared hyperball-with-per-round-estimates CTEs: the register
+    * recursion r0..r_rounds plus a 1e-6-grid estimate CTE est0..est_rounds
+    * per round (same integer-sum + one-division + linear-counting-branch
+    * math as [[hyperball]]). */
+  private def hyperballEstCtes(rounds: Int, p: Int, salt: Long): String = {
     val m = 1 << p
     val alpha = graft.functions.Sketch.alphaFor(m)
     val mix = graft.kernels.Mix.sql("id", "0", "1", salt)
@@ -208,21 +212,45 @@ object OracleSql {
          |     THEN ${dlit(m.toDouble)} * ln(${dlit(m.toDouble)} / zeros) ELSE raw END) * 1e6) / 1e6 AS est
          |   FROM u$i)""".stripMargin
     }.mkString(",\n")
-    val joins = (1 to rounds).map(i => s"JOIN est$i e$i USING (id)").mkString(" ")
-    val harm = (1 to rounds)
-      .map(i => s"(e$i.est - e${i - 1}.est) / CAST($i AS DOUBLE)").mkString(" + ")
-    val sd = (1 to rounds)
-      .map(i => s"(e$i.est - e${i - 1}.est) * CAST($i AS DOUBLE)").mkString(" + ")
-    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+    s"""e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
        | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
        | hx AS MATERIALIZED (SELECT id, ($mix) AS h FROM v),
        | r0 AS MATERIALIZED (SELECT id, CAST(h % $m AS INT) AS bucket,
        |   CAST(${31 - p + 1} - length(ltrim(bin(h >> $p), '0')) AS INT) AS rho FROM hx),
        |$steps,
-       |$estCtes
+       |$estCtes""".stripMargin
+  }
+
+  /** HyperBall geometric centralities (operators/HyperBall.centralities):
+    * fixed-order harmonic and sum-of-distances expression trees over the
+    * per-round estimates. */
+  def harmonicCentrality(rounds: Int, p: Int, salt: Long): String = {
+    val joins = (1 to rounds).map(i => s"JOIN est$i e$i USING (id)").mkString(" ")
+    val harm = (1 to rounds)
+      .map(i => s"(e$i.est - e${i - 1}.est) / CAST($i AS DOUBLE)").mkString(" + ")
+    val sd = (1 to rounds)
+      .map(i => s"(e$i.est - e${i - 1}.est) * CAST($i AS DOUBLE)").mkString(" + ")
+    s"""WITH ${hyperballEstCtes(rounds, p, salt)}
        |SELECT e0.id AS id, round(($harm) * 1e6) / 1e6 AS harmonic,
        |  round(($sd) * 1e6) / 1e6 AS sum_dist
        |FROM est0 e0 $joins""".stripMargin
+  }
+
+  /** Global neighborhood function + effective-diameter table
+    * (operators/HyperBall.neighborhoodFunction): pairs(t) = grid sum of the
+    * per-vertex estimates, frac = pairs(t)/pairs(rounds) on the grid. */
+  def neighborhoodFunction(rounds: Int, p: Int, salt: Long): String = {
+    val perRound = (0 to rounds).map { t =>
+      s"""SELECT $t AS t,
+         |  CAST(sum(CAST(round(est * 1e6) AS BIGINT)) AS BIGINT) / 1e6 AS pairs
+         |FROM est$t""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${hyperballEstCtes(rounds, p, salt)},
+       | nf AS MATERIALIZED (
+       |  $perRound),
+       | mx AS (SELECT pairs AS pmax FROM nf WHERE t = $rounds)
+       |SELECT t, pairs, round(pairs / pmax * 1e6) / 1e6 AS frac
+       |FROM nf CROSS JOIN mx""".stripMargin
   }
 
   /** Shared HLL CTEs (functions/Sketch): edge-endpoint multiset -> mixer

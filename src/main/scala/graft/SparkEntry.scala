@@ -353,6 +353,10 @@ object SparkEntry {
       val (e, v) = graph(s, dir)
       HyperBall.centralities(e, v, rounds = 4, p = 6, salt = 42L)
     }),
+    "q_neighborhood_function" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      HyperBall.neighborhoodFunction(e, v, rounds = 4, p = 6, salt = 42L)
+    }),
     "q_kcore" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
       KCore.coreness(e, v, rounds = 8, tolerance = -1)
@@ -600,6 +604,7 @@ object SparkEntry {
     "q_kcore" -> OracleSql.kcore(rounds = 8),
     "q_hyperball" -> OracleSql.hyperball(rounds = 4, p = 6, salt = 42L),
     "q_harmonic" -> OracleSql.harmonicCentrality(rounds = 4, p = 6, salt = 42L),
+    "q_neighborhood_function" -> OracleSql.neighborhoodFunction(rounds = 4, p = 6, salt = 42L),
     "q_hll_registers" -> OracleSql.hllRegisters(p = 8, salt = 42L),
     "q_hll_estimate" -> OracleSql.hllEstimate(p = 8, salt = 42L),
     "q_token_count" ->

@@ -98,37 +98,10 @@ object HyperBall {
   def centralities(edges: DataFrame, vertices: DataFrame, rounds: Int,
       p: Int = 6, salt: Long = 42L): DataFrame =
     graft.kernels.IterTuning.withoutRuntimeFilters(edges.sparkSession) {
-      require(rounds > 0, "rounds must be > 0")
-      require(p >= 4 && p <= 16, "p must be in [4, 16]")
-      val m = 1 << p
-      val adj = edges.select(col("src"), col("dst")).distinct()
-        .repartition(col("dst")).persist()
-      val h = Mix.mix31(col("id"), lit(0L), lit(1L), salt)
-      val w = shiftright(h.cast("long"), p)
-      val rho = lit(31 - p + 1) - length(ltrim(bin(w), "0"))
-      var state = vertices.select(col("id"),
-        pmod(h, lit(m.toLong)).cast("long").as("bucket"), rho.cast("int").as("rho"))
-        .localCheckpoint(true)
-      // each per-round estimate is materialized (small: |V| rows) so the
-      // register state backing it can be freed as the ball advances
-      def est(t: Int): DataFrame =
-        graft.functions.Sketch.estimateFrom(state, p, Seq("id"))
-          .select(col("id"), col("est").as(s"est_$t"))
-          .localCheckpoint(true)
-      var joined = est(0)
-      for (t <- 1 to rounds) {
-        val gathered = adj.join(state, adj("dst") === state("id"))
-          .select(adj("src").as("id"), col("bucket"), col("rho"))
-        val prev = state
-        state = state.union(gathered)
-          .groupBy(col("id"), col("bucket"))
-          .agg(max(col("rho")).as("rho"))
-          .localCheckpoint(true)
-        IterativeEngine.freeCheckpointBlocks(prev)
-        joined = joined.join(est(t), Seq("id"))
-      }
-      IterativeEngine.freeCheckpointBlocks(state)
-      adj.unpersist()
+      val ests = estimatesPerRound(edges, vertices, rounds, p, salt)
+      val joined = ests.zipWithIndex
+        .map { case (df, t) => df.select(col("id"), col("est").as(s"est_$t")) }
+        .reduce(_.join(_, Seq("id")))
       val harmonic = (1 to rounds)
         .map(t => (col(s"est_$t") - col(s"est_${t - 1}")) / lit(t.toDouble))
         .reduce(_ + _)
@@ -139,4 +112,64 @@ object HyperBall {
         (round(harmonic * lit(1e6)) / 1e6).as("harmonic"),
         (round(sumDist * lit(1e6)) / 1e6).as("sum_dist"))
     }
+
+  /** Global neighborhood function and (discrete) effective diameter — the
+    * OTHER HyperBall headline (Boldi & Vigna 2013 §1): pairs(t) =
+    * Σ_v N(v, t) estimates the number of ordered pairs within distance t;
+    * the table (t, pairs, frac = pairs(t)/pairs(rounds)) makes the
+    * alpha-effective diameter (min t with frac ≥ alpha) readable off the
+    * result. All sums are order-free 1e-6-grid integer sums and the one
+    * division per row has exact grid operands — the DuckDB oracle replays
+    * the table hash-exactly. */
+  def neighborhoodFunction(edges: DataFrame, vertices: DataFrame, rounds: Int,
+      p: Int = 6, salt: Long = 42L): DataFrame =
+    graft.kernels.IterTuning.withoutRuntimeFilters(edges.sparkSession) {
+      val ests = estimatesPerRound(edges, vertices, rounds, p, salt)
+      val nf = ests.zipWithIndex.map { case (df, t) =>
+        df.agg((coalesce(sum(round(col("est") * 1e6).cast("long")), lit(0L)) / 1e6)
+          .as("pairs")).select(lit(t).as("t"), col("pairs"))
+      }.reduce(_ union _)
+      val pmax = nf.where(col("t") === rounds).select(col("pairs").as("pmax"))
+      nf.crossJoin(broadcast(pmax))
+        .select(col("t"), col("pairs"),
+          (round(col("pairs") / col("pmax") * lit(1e6)) / 1e6).as("frac"))
+    }
+
+  /** The per-round ball-size estimate frames est_0..est_rounds, each
+    * materialized (small: |V| rows) so the register state backing it can be
+    * freed as the ball advances. */
+  private def estimatesPerRound(edges: DataFrame, vertices: DataFrame,
+      rounds: Int, p: Int, salt: Long): Seq[DataFrame] = {
+    require(rounds > 0, "rounds must be > 0")
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    val adj = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("dst")).persist()
+    val h = Mix.mix31(col("id"), lit(0L), lit(1L), salt)
+    val w = shiftright(h.cast("long"), p)
+    val rho = lit(31 - p + 1) - length(ltrim(bin(w), "0"))
+    var state = vertices.select(col("id"),
+      pmod(h, lit(m.toLong)).cast("long").as("bucket"), rho.cast("int").as("rho"))
+      .localCheckpoint(true)
+    def est(): DataFrame =
+      graft.functions.Sketch.estimateFrom(state, p, Seq("id"))
+        .select(col("id"), col("est"))
+        .localCheckpoint(true)
+    val out = Seq.newBuilder[DataFrame]
+    out += est()
+    for (_ <- 1 to rounds) {
+      val gathered = adj.join(state, adj("dst") === state("id"))
+        .select(adj("src").as("id"), col("bucket"), col("rho"))
+      val prev = state
+      state = state.union(gathered)
+        .groupBy(col("id"), col("bucket"))
+        .agg(max(col("rho")).as("rho"))
+        .localCheckpoint(true)
+      IterativeEngine.freeCheckpointBlocks(prev)
+      out += est()
+    }
+    IterativeEngine.freeCheckpointBlocks(state)
+    adj.unpersist()
+    out.result()
+  }
 }
