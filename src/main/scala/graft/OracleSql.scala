@@ -583,6 +583,53 @@ object OracleSql {
     * only BIGINT-safe arithmetic, so DuckDB reproduces every survival draw
     * and successor pick exactly; visit counts are integers and the combine
     * phase runs grid-summed, so the final scores are bit-identical. */
+  /** Random-walk corpus trace (operators/MonteCarloPpr.walkTrace): the SAME
+    * per-step survival+pick recursion as [[mcPpr]], emitting every
+    * (seed, walk_id, step, node) position instead of visit counts. */
+  def walkTrace(walksPerNode: Int, maxSteps: Int, damping: Double, salt: Long): String = {
+    val p = 2147483647L
+    val sSalt = salt * 7919L + 1234567L
+    val pSalt = salt * 7919L + 7654321L
+    val dl = dlit(damping)
+    def step(s: Int): String =
+      if (s == 1)
+        s"""w1 AS MATERIALIZED (SELECT s.seed, s.walkId, a.dsts[CAST(s.walkId % a.outdeg AS INT) + 1] AS cur
+           | FROM w0 s JOIN adjl a ON s.cur = a.src)""".stripMargin
+      else
+        s"""w$s AS MATERIALIZED (
+           | SELECT seed, walkId,
+           |        dsts[CAST((walkId + (ph2*ph2 + ph2 + 67890) % $p) % outdeg AS INT) + 1] AS cur
+           | FROM (
+           |  SELECT seed, walkId, dsts, outdeg, (ph*ph + ph + 12345) % $p AS ph2
+           |  FROM (
+           |   SELECT sv.seed, sv.walkId, a.dsts, a.outdeg,
+           |          ((sv.seed % $p)*48271 + (sv.cur % $p)*16807 + ($s % $p)*69621 + $pSalt) % $p AS ph
+           |   FROM (
+           |    SELECT seed, walkId, cur FROM (
+           |     SELECT seed, walkId, cur, (sh2*sh2 + sh2 + 67890) % $p AS sh3
+           |     FROM (
+           |      SELECT seed, walkId, cur, (sh*sh + sh + 12345) % $p AS sh2
+           |      FROM (
+           |       SELECT seed, walkId, cur,
+           |              ((seed % $p)*48271 + (walkId % $p)*16807 + ($s % $p)*69621 + $sSalt) % $p AS sh
+           |       FROM w${s - 1})))
+           |    WHERE sh3 / CAST($p AS DOUBLE) <= $dl
+           |   ) sv JOIN adjl a ON sv.cur = a.src)))""".stripMargin
+    val steps = (1 to maxSteps).map(step).mkString(",\n")
+    val unions = (1 to maxSteps)
+      .map(s => s"SELECT seed, walkId AS walk_id, $s AS step, cur AS node FROM w$s")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       | adjl AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS dsts, count(*) AS outdeg FROM e GROUP BY src),
+       | w0 AS MATERIALIZED (SELECT v.id AS seed, v.id AS cur, t.walkId
+       |        FROM v JOIN adjl a ON v.id = a.src
+       |        CROSS JOIN (SELECT unnest(range($walksPerNode)) AS walkId) t),
+       |$steps
+       |SELECT seed, walkId AS walk_id, 0 AS step, cur AS node FROM w0
+       |  UNION ALL $unions""".stripMargin
+  }
+
   def mcPpr(k: Int, l: Int, r: Int, damping: Double, salt: Long, maxSteps: Int): String = {
     val p = 2147483647L
     val sSalt = salt * 7919L + 1234567L // survivalSalt(salt)

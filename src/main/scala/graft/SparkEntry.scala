@@ -208,6 +208,13 @@ object SparkEntry {
       PushPpr.run(e, v.orderBy(col("id")).limit(10), rmax = 1e-4, iterations = 8,
         damping = 0.85, tolerance = -1, quantize = 1e12).state
     }),
+    // the walk TRACE as a training corpus (DeepWalk-style); same draw
+    // functions as the MC engine, so the oracle replays every position
+    "q_walk_trace" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      MonteCarloPpr.walkTrace(e, v, walksPerNode = 2, maxSteps = 8,
+        damping = 0.85, salt = 42L)
+    }),
     "q_mc_ppr" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
       MonteCarloPpr.run(e, v, PprConfig(K = 10, L = 20, iterations = 30,
@@ -663,6 +670,7 @@ object SparkEntry {
     "q_host_graph" -> OracleSql.hostGraph(mod = 97),
     "q_host_pagerank" -> OracleSql.hostPageRank(iterations = 15, damping = 0.85, mod = 97),
     "q_mc_ppr" -> OracleSql.mcPpr(k = 10, l = 20, r = 30, damping = 0.85, salt = 42L, maxSteps = 64),
+    "q_walk_trace" -> OracleSql.walkTrace(walksPerNode = 2, maxSteps = 8, damping = 0.85, salt = 42L),
     "q_mc_ppr_join" -> OracleSql.mcPpr(k = 10, l = 20, r = 30, damping = 0.85, salt = 42L, maxSteps = 64),
     "q_label_propagation" -> OracleSql.labelPropagation(rounds = 4),
     "q_quality_harness" -> OracleSql.qualityHarness(k = 10, l = 20, grankIterations = 8,

@@ -91,6 +91,67 @@ object MonteCarloPpr {
     runWithStats(edges, vertices, cfg, salt, maxSteps, stepBatch,
       broadcastEdgeLimit, walkerBudget, walkMode)._1
 
+  /** Random-walk CORPUS generator — the walk TRACE rather than the visit
+    * counts: one row (seed, walk_id, step, node) per position of every
+    * walk, i.e. the DeepWalk/node2vec-(p=q=1) training corpus for graph
+    * embeddings, generated with the SAME deterministic draw functions as
+    * the MC PPR engine (one mix31 survival draw + one mix31 pick per step,
+    * pure functions of (seed, walkId, step) — so traces are reproducible,
+    * partitioning-invariant, and SQL-replayable). damping < 1 gives the MC
+    * engine's geometric-length walks; damping = 1.0 gives fixed-length
+    * DeepWalk walks (every survival draw passes; walks still stop at
+    * dangling nodes). Step 0 rows carry the origin.
+    *
+    * 100-TB shape: the walker frame re-exchanges each step against the
+    * src-partitioned adjacency (the join engine's traversal shape) and the
+    * trace accumulates as per-step frames unioned at the end — walk count
+    * bounds peak rows the same way `walkerBudget` does in [[run]] (cap
+    * walksPerNode per job and union jobs for more). */
+  def walkTrace(edges: DataFrame, vertices: DataFrame, walksPerNode: Int,
+      maxSteps: Int, damping: Double = 0.85, salt: Long = 42L): DataFrame = {
+    require(walksPerNode > 0, "walksPerNode must be > 0")
+    require(maxSteps > 0, "maxSteps must be > 0")
+    require(damping > 0 && damping <= 1, "damping must be in (0, 1]")
+    IterTuning.withoutRuntimeFilters(edges.sparkSession) {
+      val adjList = edges.dropDuplicates("src", "dst").groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("dsts"))
+        .select(col("src"), col("dsts"), size(col("dsts")).as("outdeg"))
+        .persist()
+      var walkers = vertices.join(adjList, vertices("id") === adjList("src"))
+        .select(col("id").as("seed"),
+          explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walkId"),
+          col("id").as("cur"))
+        .localCheckpoint(true)
+      // per-step trace frames read the checkpointed walker frames — those
+      // blocks stay alive through the final union (bounded by maxSteps)
+      var traces = List(walkers.select(col("seed"), col("walkId").as("walk_id"),
+        lit(0).as("step"), col("cur").as("node")))
+      var alive = walkers.count()
+      var step = 1
+      while (alive > 0 && step <= maxSteps) {
+        val survivors =
+          if (step == 1) walkers // first edge always traversed (run: :127-132)
+          else walkers.where(
+            (mix31(col("seed"), col("walkId"), lit(step), survivalSalt(salt))
+              / lit(P.toDouble)) <= damping)
+        val pick =
+          if (step == 1) pmod(col("walkId"), col("outdeg"))
+          else pmod(col("walkId") + mix31(col("seed"), col("cur"), lit(step), pickSalt(salt)),
+            col("outdeg"))
+        walkers = survivors.join(adjList, survivors("cur") === adjList("src"))
+          .select(col("seed"), col("walkId"),
+            element_at(col("dsts"), (pick + 1).cast("int")).as("cur"))
+          .localCheckpoint(true)
+        traces ::= walkers.select(col("seed"), col("walkId").as("walk_id"),
+          lit(step).as("step"), col("cur").as("node"))
+        alive = walkers.count()
+        step += 1
+      }
+      adjList.unpersist()
+      traces.reduce(_ union _)
+    }
+  }
+
   def runWithStats(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
       salt: Long = 42L, maxSteps: Int = 200, stepBatch: Int = 8,
       broadcastEdgeLimit: Long = 4000000L,
