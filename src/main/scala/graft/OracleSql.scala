@@ -183,6 +183,47 @@ object OracleSql {
     * estimate CTE per round (same integer-sum + one-division + linear-
     * counting-branch math as [[hyperball]]), then the fixed-order harmonic
     * and sum-of-distances expression trees over est_0..est_rounds. */
+  /** Degree assortativity (operators/GraphStats.assortativity): exact
+    * integer sufficient statistics, fixed-order final expression, 1e-6
+    * grid. */
+  def assortativity(): String =
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+       |   FROM lineitem WHERE l_partkey <> l_suppkey),
+       | od AS (SELECT src AS u, count(*) AS x FROM e GROUP BY 1),
+       | ind AS (SELECT dst AS v, count(*) AS y FROM e GROUP BY 1),
+       | xy AS (SELECT x, y FROM e JOIN od ON e.src = od.u JOIN ind ON e.dst = ind.v),
+       | s AS (SELECT count(*) AS m,
+       |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |   CAST(sum(x*y) AS BIGINT) AS sxy,
+       |   CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy FROM xy)
+       |SELECT m AS n_edges,
+       |  round((CASE WHEN m > 1
+       |      AND CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+       |      AND CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+       |    THEN (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |      / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       |           * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+       |    ELSE ${dlit(0.0)} END) * 1e6) / 1e6 AS assortativity
+       |FROM s""".stripMargin
+
+  /** Log2-binned degree histogram (operators/GraphStats.degreeHistogram):
+    * integer bit-length buckets (the Sketch bin/ltrim idiom — no floating
+    * log2 at bucket boundaries). */
+  def degreeHistogram(): String =
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       | v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       | od AS (SELECT v.id, coalesce(o.c, 0) AS deg FROM v LEFT JOIN
+       |   (SELECT src AS id, count(*) AS c FROM e GROUP BY 1) o USING (id)),
+       | ind AS (SELECT v.id, coalesce(i.c, 0) AS deg FROM v LEFT JOIN
+       |   (SELECT dst AS id, count(*) AS c FROM e GROUP BY 1) i USING (id)),
+       | u AS (SELECT 'out' AS kind, deg FROM od UNION ALL SELECT 'in', deg FROM ind),
+       | b AS (SELECT kind, CASE WHEN deg <= 0 THEN -1
+       |   ELSE CAST(length(ltrim(bin(deg), '0')) - 1 AS INT) END AS bucket FROM u)
+       |SELECT kind, bucket, count(*) AS n_vertices,
+       |  CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(1 AS BIGINT) << bucket END AS min_deg
+       |FROM b GROUP BY 1, 2""".stripMargin
+
   /** Shared hyperball-with-per-round-estimates CTEs: the register
     * recursion r0..r_rounds plus a 1e-6-grid estimate CTE est0..est_rounds
     * per round (same integer-sum + one-division + linear-counting-branch

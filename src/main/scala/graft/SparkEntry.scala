@@ -151,6 +151,11 @@ object SparkEntry {
       Triangles.clusteringCoefficient(e, v)
     }),
     "q_reciprocity" -> ((s, dir) => GraphStats.reciprocity(graph(s, dir)._1)),
+    "q_assortativity" -> ((s, dir) => GraphStats.assortativity(graph(s, dir)._1)),
+    "q_degree_hist" -> ((s, dir) => {
+      val (e, v) = graph(s, dir)
+      GraphStats.degreeHistogram(e, v)
+    }),
     "q_transitivity" -> ((s, dir) => GraphStats.transitivity(graph(s, dir)._1)),
     // ---- iterative graph operators -----------------------------------------
     // Verification configs are fully deterministic (tolerance = -1: never
@@ -572,6 +577,8 @@ object SparkEntry {
         |       THEN 2.0 * coalesce(tv.t, 0) / (deg.d * (deg.d - 1))
         |       ELSE 0.0 END AS coeff
         |FROM v LEFT JOIN deg ON v.id = deg.id LEFT JOIN tv ON v.id = tv.id""".stripMargin,
+    "q_assortativity" -> OracleSql.assortativity(),
+    "q_degree_hist" -> OracleSql.degreeHistogram(),
     "q_reciprocity" ->
       """WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem
         |           WHERE l_partkey <> l_suppkey),

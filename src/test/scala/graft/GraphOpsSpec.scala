@@ -20,6 +20,28 @@ class GraphOpsSpec extends AnyFunSuite with GraphFixtures {
     }
   }
 
+  test("assortativity: hand-computed Pearson on a 3-edge graph; degenerate variance -> 0") {
+    // edges 0->1, 0->2, 3->1: (x,y) pairs (2,2),(2,1),(1,2) -> r = -0.5
+    val got = graft.operators.GraphStats.assortativity(
+      edgesDf(Seq((0L, 1L), (0L, 2L), (3L, 1L)))).head()
+    assert(got.getLong(0) == 3L)
+    assert(got.getDouble(1) == -0.5)
+    // star-out: x constant across edges -> zero variance -> 0.0 sentinel
+    val star = graft.operators.GraphStats.assortativity(edgesDf(starOut(5))).head()
+    assert(star.getDouble(1) == 0.0)
+  }
+
+  test("degreeHistogram: bit-length buckets, zero-degree bucket -1") {
+    // starOut(5): center outdeg 5 (bucket 2, min_deg 4), leaves outdeg 0;
+    // indegs: center 0, leaves 1 (bucket 0, min_deg 1)
+    val got = graft.operators.GraphStats.degreeHistogram(
+        edgesDf(starOut(5)), verticesDf(0L to 5L))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("out", 2) -> (1L, 4L), ("out", -1) -> (5L, 0L),
+      ("in", 0) -> (5L, 1L), ("in", -1) -> (1L, 0L)))
+  }
+
   test("coarsen: group-pair weights count page edges; intra-group edges drop by default") {
     val s = spark
     import s.implicits._
