@@ -36,7 +36,14 @@ object StatsBarrier {
 
   /** `df` re-wrapped as a stats-fresh LogicalRDD over the same rows.
     * NOTE: the result reads the same underlying blocks as `df` — freeing
-    * df's checkpoint blocks invalidates both. */
+    * df's checkpoint blocks invalidates both. NOTE also: unlike Spark 4's
+    * localCheckpoint (which preserves hash output partitioning — the
+    * engine's ScheduleSpec-gated exchange-reuse contract), the rebuilt
+    * LogicalRDD reports UNKNOWN partitioning, so downstream joins on the
+    * old key re-shuffle. Use the barrier only in loops whose join keys
+    * change round to round anyway (SCC refinement, star contraction) — NOT
+    * in the iterative engine's persist-chain mode, which exists precisely
+    * to reuse the state's partitioning. */
   def statsBarrier(df: DataFrame): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[ClassicSession]
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
