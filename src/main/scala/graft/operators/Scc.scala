@@ -70,9 +70,21 @@ object Scc {
   private def free(c: Cut): Unit = IterativeEngine.freeCheckpointBlocks(c.blocks)
 
   /** (id, scc) with scc = minimum vertex id of v's strongly connected
-    * component. Self-loops are irrelevant to SCC membership and dropped. */
+    * component. Self-loops are irrelevant to SCC membership and dropped.
+    *
+    * Checkpoint/resume (the engine-wide contract, here for the one
+    * operator that does not ride IterativeEngine's loop): with
+    * `checkpointEvery` > 0 and a [[CheckpointManager]], every Nth
+    * refinement round snapshots the full loop state — finalized vertices as
+    * (id, done=true, a=scc) and open ones as (id, done=false, a=cf, b=cb) —
+    * with the manager's usual per-partition lineage manifest;
+    * `resume = true` restarts from the latest committed snapshot
+    * (refinement is a pure function of (edges, state), so resumed and
+    * straight-through runs produce identical results — test-gated). */
   def scc(edges: DataFrame, vertices: DataFrame, maxRefineRounds: Int = 30,
-      maxPropagateRounds: Int = 500): DataFrame =
+      maxPropagateRounds: Int = 500,
+      checkpoint: Option[CheckpointManager] = None, checkpointEvery: Int = 0,
+      resume: Boolean = false): DataFrame =
     IterTuning.withoutRuntimeFilters(edges.sparkSession) {
       val e0 = cut(edges
         .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
@@ -81,9 +93,20 @@ object Scc {
       var active = cut(vertices.select(col("id").cast("long").as("id"),
         lit(0L).as("cf"), lit(0L).as("cb")))
       var finalized = List.empty[DataFrame]
-      var activeCount = active.frame.count()
       var round = 0
+      if (resume) checkpoint.flatMap(_.latest(edges.sparkSession)).foreach { case (i, df) =>
+        round = i
+        val loaded = df.localCheckpoint(true)
+        finalized = List(loaded.where(col("done")).select(col("id"), col("a").as("scc")))
+        val prev = active
+        active = cut(loaded.where(!col("done"))
+          .select(col("id"), col("a").as("cf"), col("b").as("cb")))
+        free(prev)
+      }
+      var activeCount = active.frame.count()
+      var history = Vector.empty[IterMetrics]
       while (activeCount > 0 && round < maxRefineRounds) {
+        val tRound = System.nanoTime()
         val a1 = active.frame.select(col("id").as("sid"), col("cf").as("scf"), col("cb").as("scb"))
         val a2 = active.frame.select(col("id").as("did"), col("cf").as("dcf"), col("cb").as("dcb"))
         val eAct = cut(e0.frame
@@ -105,6 +128,16 @@ object Scc {
         free(cand)
         activeCount = active.frame.count()
         round += 1
+        if (checkpointEvery > 0 && checkpoint.isDefined && round % checkpointEvery == 0) {
+          val snapshot = finalized
+            .map(_.select(col("id"), lit(true).as("done"),
+              col("scc").as("a"), lit(null).cast("long").as("b")))
+            .foldLeft(active.frame.select(col("id"), lit(false).as("done"),
+              col("cf").as("a"), col("cb").as("b")))(_ union _)
+          val m = IterMetrics(round, Double.NaN, activeCount, (System.nanoTime() - tRound) / 1000000)
+          history :+= m
+          checkpoint.get.save(snapshot, round, m, history)
+        }
       }
       require(activeCount == 0,
         s"SCC refinement did not converge within $maxRefineRounds rounds ($activeCount vertices open)")

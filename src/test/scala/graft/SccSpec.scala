@@ -123,6 +123,31 @@ class SccSpec extends AnyFunSuite with GraphFixtures {
     assert(got == Map(0L -> "CORE", 1L -> "CORE", 10L -> "OTHER", 11L -> "OTHER"))
   }
 
+  test("scc: resume from a mid-run checkpoint equals the straight-through run") {
+    val edges = randomGraph(60, 150, seed = 23).filter(e => e._1 != e._2)
+    val nodes = (0L until 60L).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("scc-ckpt").toString
+    val mgr = new graft.operators.CheckpointManager(dir)
+    val straight = Scc.scc(edgesDf(edges), verticesDf(nodes),
+        checkpoint = Some(mgr), checkpointEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val committed = mgr.committed()
+    assert(committed.size >= 2, s"expected >=2 refinement snapshots, got $committed")
+    // keep only the FIRST snapshot (simulate a crash after round 1), resume
+    committed.tail.foreach { i =>
+      val d = new java.io.File(f"$dir/iter_$i%06d")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(d)
+    }
+    assert(mgr.committed() == Seq(committed.head))
+    val resumed = Scc.scc(edgesDf(edges), verticesDf(nodes),
+        checkpoint = Some(mgr), resume = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == straight)
+  }
+
   test("scc: self-loops do not affect membership") {
     val got = run(Seq((0L, 0L), (0L, 1L), (1L, 0L), (2L, 2L)), Seq(0L, 1L, 2L))
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
