@@ -40,7 +40,8 @@ object Bench {
     "q_grank_weighted", "q_push_ppr_weighted", "q_ann_recall",
     "q_scc", "q_hits", "q_harmonic", "q_trustrank", "q_host_pagerank",
     "q_dedup_clusters", "q_corpus_prep", "q_neighborhood_function",
-    "q_bowtie", "q_walk_trace", "q_assortativity", "q_degree_hist")
+    "q_bowtie", "q_walk_trace", "q_assortativity", "q_degree_hist",
+    "q_unigram_logprob")
 
   private def session(cores: Int, shufflePartitions: Int): SparkSession = {
     new java.io.File("/dev/shm/graft-spark").mkdirs()

@@ -183,6 +183,20 @@ object OracleSql {
     * estimate CTE per round (same integer-sum + one-division + linear-
     * counting-branch math as [[hyperball]]), then the fixed-order harmonic
     * and sum-of-distances expression trees over est_0..est_rounds. */
+  /** Unigram log-probability scoring (functions/TextAnalysis
+    * .unigramLogprob): exact-integer corpus frequencies, one ln per token
+    * of an exact-operand division, order-free 1e-12 grid mean per doc. */
+  def unigramLogprob(): String =
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id,
+       |   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok FROM documents),
+       | f AS MATERIALIZED (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+       | n AS (SELECT CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS nt FROM f),
+       | lp AS (SELECT doc_id, ln(CAST(c AS DOUBLE) / nt) AS lp
+       |   FROM tk JOIN f USING (tok) CROSS JOIN n)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  (CAST(sum(CAST(round(lp * 1e12) AS BIGINT)) AS BIGINT) / 1e12) / count(*) AS avg_logprob
+       |FROM lp GROUP BY 1""".stripMargin
+
   /** Degree assortativity (operators/GraphStats.assortativity): exact
     * integer sufficient statistics, fixed-order final expression, 1e-6
     * grid. */

@@ -408,6 +408,8 @@ object SparkEntry {
           ((sum(round(col("quality") * 1e12).cast("long")) / 1e12) / count(lit(1)))
             .as("avg_quality"))
     }),
+    "q_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogprob(t(s, dir, "documents"))),
     "q_text_annotate" -> ((s, dir) =>
       TextAnalysis.annotate(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality"))),
@@ -654,6 +656,7 @@ object SparkEntry {
     "q_minhash_neardup_t07" -> OracleSql.minhashNearDup(nearDupTail, k = 3,
       bands = 8, rowsPerBand = 4, threshold = 0.7, salt = 42L),
     "q_text_annotate" -> OracleSql.textAnnotate(),
+    "q_unigram_logprob" -> OracleSql.unigramLogprob(),
     "q_corpus_prep" -> OracleSql.corpusPrep(quality = 0.7),
     "q_id_collision_audit" -> OracleSql.idCollisionAudit(modulus = 257),
     "q_multimodal_meta" -> OracleSql.multimodalMeta(n = 200, seed = 42L),

@@ -94,6 +94,39 @@ object TextAnalysis {
       transform(sequence(lit(1), length(norm) - (k - 1)), i => norm.substr(i, lit(k))))
   }
 
+  /** Unigram log-probability scoring — the language-model quality signal
+    * corpus pipelines filter on (CCNet-style perplexity, with the corpus's
+    * own unigram distribution standing in for an external LM, which this
+    * sandbox cannot ship): avg_logprob(doc) = mean over tokens of
+    * ln(count(token)/N) under the whole-corpus token frequencies. Docs
+    * scoring far below the corpus mean are repetitive-rare-token noise;
+    * far above, boilerplate. Returns (idCol, n_tokens, avg_logprob) for
+    * docs with ≥ 1 token.
+    *
+    * Determinism: frequencies and N are exact integers, each token's
+    * log-probability is ln of ONE exact-operand division, and the per-doc
+    * mean is an order-free 1e-12 grid sum followed by one division — the
+    * DuckDB oracle replays it exactly. 100-TB shape: explode → one
+    * frequency aggregation (map-side combinable) → one join back on token
+    * (broadcast when the vocabulary fits) → one per-doc aggregation; the
+    * corpus-total N folds in as a 1-row broadcast, no driver sync. */
+  def unigramLogprob(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .persist()
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = freq.agg(sum(col("c")).cast("double").as("nt"))
+    val lp = toks.join(freq, "tok").crossJoin(broadcast(n))
+      .select(col(idCol), log(col("c").cast("double") / col("nt")).as("lp"))
+    val res = lp.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        ((sum(round(col("lp") * 1e12).cast("long")) / 1e12) / count(lit(1)))
+          .as("avg_logprob"))
+      .localCheckpoint(true)
+    toks.unpersist()
+    res
+  }
+
   /** Rolling-hash document fingerprint: xxhash64 of every char-k-shingle,
     * keep the minimum (a 1-permutation MinHash — stable under small edits
     * far from the minimizing window), plus the exact content hash. */

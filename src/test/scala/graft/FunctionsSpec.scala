@@ -176,6 +176,21 @@ class FunctionsSpec extends AnyFunSuite with GraphFixtures {
     assert(got == Set(5L, 2L))
   }
 
+  test("unigramLogprob: hand-computed uniform corpus; rare tokens score lower") {
+    val d = docs(Seq((1L, "a a b"), (2L, "b")))
+    val got = TextAnalysis.unigramLogprob(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // N = 4, c(a) = c(b) = 2 -> every token has p = 0.5
+    val half = math.round(math.log(0.5) * 1e12) / 1e12
+    assert(got(1L) == ((3L, ((half * 3 * 1e12).round / 1e12) / 3)))
+    assert(got(2L) == ((1L, half)))
+    // a doc full of rare tokens scores below one full of common tokens
+    val d2 = docs(Seq((1L, "x x x x x x x x"), (2L, "zq wq")))
+    val got2 = TextAnalysis.unigramLogprob(d2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got2(2L) < got2(1L))
+  }
+
   test("clusters: transitive chains merge through the middle; pair-free docs self-canonicalize") {
     val s = spark
     import s.implicits._
