@@ -106,24 +106,36 @@ object TextAnalysis {
     * Determinism: frequencies and N are exact integers, each token's
     * log-probability is ln of ONE exact-operand division, and the per-doc
     * mean is an order-free 1e-12 grid sum followed by one division — the
-    * DuckDB oracle replays it exactly. 100-TB shape: explode → one
-    * frequency aggregation (map-side combinable) → one join back on token
+    * DuckDB oracle replays it exactly.
+    *
+    * 100-TB shape: the occurrence stream is pre-aggregated to
+    * (doc, tok, dc) BEFORE the frequency join (all occurrences of a token
+    * within a doc share one lp value, so the per-doc mean weights by dc —
+    * same result, same oracle). That bounds the join input by per-doc
+    * DISTINCT tokens and caps any single token key at ≤ |docs| rows — the
+    * head of the Zipf curve ("the", in every document) no longer routes
+    * billions of occurrence rows through one shuffle key (VERDICT r5 #2;
+    * the planted hot-token fixture in FunctionsSpec exercises exactly this).
+    * Chain: explode → (doc, tok) count [map-side combinable] → token
+    * frequency aggregation [combinable] → one join back on token
     * (broadcast when the vocabulary fits) → one per-doc aggregation; the
     * corpus-total N folds in as a 1-row broadcast, no driver sync. */
   def unigramLogprob(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val docTok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("dc"))
       .persist()
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val freq = docTok.groupBy(col("tok")).agg(sum(col("dc")).as("c"))
     val n = freq.agg(sum(col("c")).cast("double").as("nt"))
-    val lp = toks.join(freq, "tok").crossJoin(broadcast(n))
-      .select(col(idCol), log(col("c").cast("double") / col("nt")).as("lp"))
+    val lp = docTok.join(freq, "tok").crossJoin(broadcast(n))
+      .select(col(idCol), col("dc"),
+        log(col("c").cast("double") / col("nt")).as("lp"))
     val res = lp.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        ((sum(round(col("lp") * 1e12).cast("long")) / 1e12) / count(lit(1)))
-          .as("avg_logprob"))
+      .agg(sum(col("dc")).as("n_tokens"),
+        ((sum(col("dc") * round(col("lp") * 1e12).cast("long")) / 1e12)
+          / sum(col("dc"))).as("avg_logprob"))
       .localCheckpoint(true)
-    toks.unpersist()
+    docTok.unpersist()
     res
   }
 

@@ -78,13 +78,23 @@ object GRank {
     // construction — a handful at real thresholds) and drive both the
     // engage-salting decision and the broadcast sides below; the earlier
     // isEmpty-then-join form ran the full in-degree aggregation twice
-    // (ADVICE r4)
+    // (ADVICE r4). A small user-supplied threshold on a huge graph could
+    // make the hub set driver-OOM-sized, so the collect is limit-guarded:
+    // |E|/saltThreshold bounds the true hub count, and past `hubCap` the
+    // premise "hubs are a handful worth special-casing" is wrong anyway —
+    // fail fast with the fix instead of OOMing (ADVICE r5)
+    val hubCap = 1000000
     val hubIds: Array[Long] =
-      if (saltThreshold > 0)
-        pos.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+      if (saltThreshold > 0) {
+        val hubs = pos.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
           .where(col("indeg") > saltThreshold)
-          .select(col("dst")).collect().map(_.getLong(0))
-      else Array.empty
+          .select(col("dst")).limit(hubCap + 1).collect().map(_.getLong(0))
+        require(hubs.length <= hubCap,
+          s"saltThreshold=$saltThreshold marks > $hubCap vertices as hubs — " +
+            "that is a dense graph, not a skewed one; raise saltThreshold " +
+            "(or pass saltThreshold = 0 to disable salting)")
+        hubs
+      } else Array.empty
     // auto mode pays that ONE setup job to check for hubs and runs the plain
     // unsalted plan (zero per-superstep salting overhead) when none exist —
     // HubBench measured blanket salting regressing moderate skew

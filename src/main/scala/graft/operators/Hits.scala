@@ -70,15 +70,21 @@ object Hits {
     def superstep(state: DataFrame, i: Int): DataFrame = {
       staleBlocks.foreach(IterativeEngine.freeCheckpointBlocks)
       val hub = state.where(col("seed") === 1).select(col("node"), col("score"))
+      // a zero gather sum (all hub mass on dangling nodes, or every
+      // contribution rounding to 0 on the quantize grid) would make raw/s
+      // NaN and poison all remaining iterations — normalize by 1 instead,
+      // which keeps the (all-zero) vector exact (ADVICE r5)
       val araw = hub.join(e, hub("node") === e("src"))
         .groupBy(col("dst").as("node")).agg(gsum(col("score")).as("raw"))
         .localCheckpoint(true)
-      val sA = araw.agg(gsum(col("raw")).as("s")).head().getDouble(0)
+      val sA0 = araw.agg(gsum(col("raw")).as("s")).head().getDouble(0)
+      val sA = if (sA0 == 0.0) 1.0 else sA0
       val auth = araw.select(col("node"), grid(col("raw") / lit(sA)).as("score"))
       val hraw = auth.join(e, auth("node") === e("dst"))
         .groupBy(col("src").as("node")).agg(gsum(col("score")).as("raw"))
         .localCheckpoint(true)
-      val sH = hraw.agg(gsum(col("raw")).as("s")).head().getDouble(0)
+      val sH0 = hraw.agg(gsum(col("raw")).as("s")).head().getDouble(0)
+      val sH = if (sH0 == 0.0) 1.0 else sH0
       val hubNext = hraw.select(col("node"), grid(col("raw") / lit(sH)).as("score"))
       staleBlocks = List(araw, hraw)
       auth.select(lit(0L).as("seed"), col("node"), col("score"))

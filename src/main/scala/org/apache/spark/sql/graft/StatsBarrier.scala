@@ -45,6 +45,15 @@ object StatsBarrier {
     * in the iterative engine's persist-chain mode, which exists precisely
     * to reuse the state's partitioning. */
   def statsBarrier(df: DataFrame): DataFrame = {
+    // the "apply only after localCheckpoint" usage rule, enforced: on a
+    // non-materialized frame, toRdd would hand back the UNexecuted physical
+    // RDD — every action on the rebuilt LogicalRDD would re-run the whole
+    // upstream plan (and a nondeterministic source could produce
+    // inconsistent reads across those re-runs). A checkpointed frame
+    // analyzes to a bare LogicalRDD; anything else is a misuse (ADVICE r5).
+    require(df.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      "statsBarrier requires an already-materialized frame " +
+        s"(df.localCheckpoint(true) first); got plan ${df.queryExecution.analyzed.nodeName}")
     val spark = df.sparkSession.asInstanceOf[ClassicSession]
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
   }

@@ -114,6 +114,24 @@ class SccSpec extends AnyFunSuite with GraphFixtures {
       15L -> "OTHER", 16L -> "OTHER", 20L -> "OTHER", 21L -> "OTHER"))
   }
 
+  test("bowtie: precomputed scc frame gives the identical decomposition") {
+    val edges = Seq(
+      (5L, 6L), (6L, 7L), (7L, 5L),
+      (1L, 5L), (0L, 1L),
+      (7L, 8L), (8L, 9L),
+      (1L, 15L),
+      (0L, 16L), (16L, 9L),
+      (20L, 21L), (21L, 20L))
+    val nodes = Seq(0L, 1L, 5L, 6L, 7L, 8L, 9L, 15L, 16L, 20L, 21L)
+    val (e, v) = (edgesDf(edges), verticesDf(nodes))
+    val comp = Scc.scc(e, v)
+    val viaPre = Scc.bowtie(e, v, precomputedScc = Some(comp))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = Scc.bowtie(e, v)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaPre == direct)
+  }
+
   test("bowtie: largest-SCC tie breaks to the smaller scc id") {
     // two disjoint 2-cycles: core must be {0,1} (min id), {10,11} -> OTHER
     val edges = Seq((0L, 1L), (1L, 0L), (10L, 11L), (11L, 10L))
