@@ -638,6 +638,123 @@ object OracleSql {
     * only BIGINT-safe arithmetic, so DuckDB reproduces every survival draw
     * and successor pick exactly; visit counts are integers and the combine
     * phase runs grid-summed, so the final scores are bit-identical. */
+  /** Weighted adjacency lists with cumulative integer weights (the mirror
+    * of MonteCarloPpr.buildAdj's weighted contract): dsts in dst order,
+    * cws = prefix sums of w in the same order, totw = Σw. Requires an
+    * `ew(src, dst, w)` CTE in scope; window-sum of BIGINT is HUGEINT in
+    * DuckDB, hence the casts. */
+  private def weightedAdjlCte: String =
+    s"""adjl AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS dsts,
+       |   list(cw ORDER BY dst) AS cws, count(*) AS outdeg, CAST(max(cw) AS BIGINT) AS totw
+       |  FROM (SELECT src, dst, CAST(sum(w) OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS cw FROM ew)
+       |  GROUP BY src)""".stripMargin
+
+  /** One weighted walk step CTE w{s}: survival draw identical to the
+    * unweighted chain; the successor pick lands r = base % totw on the
+    * cumulative-weight interval containing it — the list_filter count is
+    * exactly MonteCarloPpr.pickIdx's size(filter(cws, c <= r)). */
+  private def weightedWalkStep(s: Int, damping: Double, sSalt: Long, pSalt: Long): String = {
+    val p = 2147483647L
+    val dl = dlit(damping)
+    if (s == 1)
+      s"""w1 AS MATERIALIZED (SELECT s.seed, s.walkId,
+         | a.dsts[CAST(len(list_filter(a.cws, c -> c <= (s.walkId % a.totw))) + 1 AS INT)] AS cur
+         | FROM w0 s JOIN adjl a ON s.cur = a.src)""".stripMargin
+    else
+      s"""w$s AS MATERIALIZED (
+         | SELECT seed, walkId,
+         |        dsts[CAST(len(list_filter(cws, c -> c <= ((walkId + (ph2*ph2 + ph2 + 67890) % $p) % totw))) + 1 AS INT)] AS cur
+         | FROM (
+         |  SELECT seed, walkId, dsts, cws, totw, (ph*ph + ph + 12345) % $p AS ph2
+         |  FROM (
+         |   SELECT sv.seed, sv.walkId, a.dsts, a.cws, a.totw,
+         |          ((sv.seed % $p)*48271 + (sv.cur % $p)*16807 + ($s % $p)*69621 + $pSalt) % $p AS ph
+         |   FROM (
+         |    SELECT seed, walkId, cur FROM (
+         |     SELECT seed, walkId, cur, (sh2*sh2 + sh2 + 67890) % $p AS sh3
+         |     FROM (
+         |      SELECT seed, walkId, cur, (sh*sh + sh + 12345) % $p AS sh2
+         |      FROM (
+         |       SELECT seed, walkId, cur,
+         |              ((seed % $p)*48271 + (walkId % $p)*16807 + ($s % $p)*69621 + $sSalt) % $p AS sh
+         |       FROM w${s - 1})))
+         |    WHERE sh3 / CAST($p AS DOUBLE) <= $dl
+         |   ) sv JOIN adjl a ON sv.cur = a.src)))""".stripMargin
+  }
+
+  /** The lineitem-derived weighted edge CTE (SparkEntry.weightedEdges). */
+  private[graft] def lineitemEwCte: String =
+    s"""ew AS MATERIALIZED (SELECT l_partkey AS src, l_suppkey AS dst,
+       |   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  /** The host-graph weighted edge CTE (Coarsen.project over id % mod). */
+  private[graft] def hostEwCte(mod: Int): String =
+    s"""e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+       | ew AS MATERIALIZED (SELECT src % $mod AS src, dst % $mod AS dst, count(*) AS w
+       |   FROM e WHERE src % $mod <> dst % $mod GROUP BY 1, 2)""".stripMargin
+
+  /** WEIGHTED random-walk corpus trace (walkTrace over a `weight` column):
+    * same survival recursion, weight-proportional picks. `ewCte` supplies
+    * the weighted edge table — [[lineitemEwCte]] or [[hostEwCte]] (the
+    * host-graph → walk-corpus composition). */
+  def walkTraceWeighted(walksPerNode: Int, maxSteps: Int, damping: Double,
+      salt: Long, ewCte: String): String = {
+    val sSalt = salt * 7919L + 1234567L
+    val pSalt = salt * 7919L + 7654321L
+    val steps = (1 to maxSteps).map(weightedWalkStep(_, damping, sSalt, pSalt)).mkString(",\n")
+    val unions = (1 to maxSteps)
+      .map(s => s"SELECT seed, walkId AS walk_id, $s AS step, cur AS node FROM w$s")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $ewCte,
+       | $weightedAdjlCte,
+       | w0 AS MATERIALIZED (SELECT a.src AS seed, a.src AS cur, t.walkId
+       |        FROM adjl a CROSS JOIN (SELECT unnest(range($walksPerNode)) AS walkId) t),
+       |$steps
+       |SELECT seed, walkId AS walk_id, 0 AS step, cur AS node FROM w0
+       |  UNION ALL $unions""".stripMargin
+  }
+
+  /** WEIGHTED MC PPR (MonteCarloPpr.run over a `weight` column): weighted
+    * walk steps, then the combine superstep with the PER-EDGE factor
+    * d·w/Σ_out w — self entries are exactly 1.0 and scaling happens inside
+    * the gather (scale-then-prune; see finishFromVisits' doc). */
+  def mcPprWeighted(k: Int, l: Int, r: Int, damping: Double, salt: Long,
+      maxSteps: Int): String = {
+    val sSalt = salt * 7919L + 1234567L
+    val pSalt = salt * 7919L + 7654321L
+    val effective = math.floor(r * damping).toLong
+    val dl = dlit(damping)
+    val steps = (1 to maxSteps).map(weightedWalkStep(_, damping, sSalt, pSalt)).mkString(",\n")
+    val visitUnion = (1 to maxSteps)
+      .map(s => s"SELECT seed, cur AS node FROM w$s").mkString("\n   UNION ALL ")
+    s"""WITH $lineitemEwCte,
+       | v AS MATERIALIZED (SELECT src AS id FROM ew UNION SELECT dst AS id FROM ew),
+       | $weightedAdjlCte,
+       | w0 AS MATERIALIZED (SELECT a.src AS seed, a.src AS cur, t.walkId
+       |        FROM adjl a CROSS JOIN (SELECT unnest(range($effective)) AS walkId) t),
+       |$steps,
+       | visits AS MATERIALIZED (SELECT seed, node, count(*) AS visits FROM (
+       |   $visitUnion) GROUP BY 1, 2),
+       | wb0 AS MATERIALIZED (SELECT seed, node, CAST(sum(visits) AS BIGINT) / CAST($r AS DOUBLE) AS score FROM (
+       |   SELECT id AS seed, id AS node, CAST($r AS BIGINT) AS visits FROM v
+       |   UNION ALL SELECT seed, node, visits FROM visits) GROUP BY 1, 2),
+       | wb AS MATERIALIZED (SELECT seed, node, score FROM wb0
+       |   QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $l),
+       | ws AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM ew GROUP BY 1),
+       | ef AS MATERIALIZED (SELECT ew.src, ew.dst, $dl * ew.w / ws.wsum AS efactor
+       |        FROM ew JOIN ws USING (src)),
+       | comb0 AS MATERIALIZED (SELECT seed, node, ${gridSum("score")} AS score FROM (
+       |   SELECT id AS seed, id AS node, ${dlit(1.0)} AS score FROM v
+       |   UNION ALL
+       |   SELECT ef.src AS seed, b.node AS node, b.score * ef.efactor AS score
+       |   FROM ef JOIN wb b ON ef.dst = b.seed)
+       |  GROUP BY 1, 2),
+       | fin AS MATERIALIZED (SELECT seed, node, score FROM comb0
+       |   QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $l)
+       |SELECT seed, node, score FROM fin
+       |QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, node ASC) <= $k""".stripMargin
+  }
+
   /** Random-walk corpus trace (operators/MonteCarloPpr.walkTrace): the SAME
     * per-step survival+pick recursion as [[mcPpr]], emitting every
     * (seed, walk_id, step, node) position instead of visit counts. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.kernels.{IterTuning, TopK}
@@ -84,6 +84,52 @@ object MonteCarloPpr {
   private[graft] def survivalSalt(salt: Long): Long = salt * 7919L + 1234567L
   private[graft] def pickSalt(salt: Long): Long = salt * 7919L + 7654321L
 
+  /** Weight contract for the walk family (VERDICT r5 next #4): a `weight`
+    * edge column switches every successor draw from uniform to
+    * weight-proportional via an INTEGER cumulative-weight pick — adjacency
+    * lists carry prefix sums cws of the (long) weights in dst order, a draw
+    * lands on r ∈ [0, totw) and selects the successor whose interval
+    * [cws(i-1), cws(i)) contains r. Exact integer arithmetic end to end, so
+    * the DuckDB oracle replays every weighted draw bit-identically (the
+    * node2vec-on-the-host-graph corpus case: Coarsen.project output is a
+    * drop-in input). Non-positive weights drop; duplicate (src,dst) rows
+    * sum their weights. */
+  private def buildAdj(edges: DataFrame, weighted: Boolean, dedup: Boolean): DataFrame =
+    if (weighted) {
+      val ew = edges.where(col("weight") > 0)
+        .groupBy(col("src"), col("dst"))
+        .agg(sum(col("weight")).cast("long").as("w"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("dst"))
+      ew.withColumn("cw", sum(col("w")).over(win))
+        .groupBy(col("src"))
+        .agg(sort_array(collect_list(struct(col("dst"), col("cw")))).as("pairs"))
+        .select(col("src"),
+          transform(col("pairs"), p => p.getField("dst")).as("dsts"),
+          transform(col("pairs"), p => p.getField("cw")).as("cws"),
+          size(col("pairs")).as("outdeg"))
+        .withColumn("totw", element_at(col("cws"), -1))
+    } else {
+      val e = if (dedup) edges.dropDuplicates("src", "dst") else edges
+      e.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("dsts"))
+        .select(col("src"), col("dsts"), size(col("dsts")).as("outdeg"))
+    }
+
+  /** 1-based successor index for the step-`step` draw, to feed element_at
+    * over `dsts`. Columns in scope: seed, walkId, cur (pre-move), and the
+    * joined adjacency's outdeg (+ cws/totw when weighted). Step 1 always
+    * traverses with the round-robin base `walkId` (run: :127-132). */
+  private def pickIdx(step: Int, salt: Long, weighted: Boolean): Column = {
+    val base =
+      if (step == 1) col("walkId")
+      else col("walkId") + mix31(col("seed"), col("cur"), lit(step), pickSalt(salt))
+    if (weighted) {
+      val r = pmod(base, col("totw"))
+      (size(filter(col("cws"), c => c <= r)) + 1).cast("int")
+    } else (pmod(base, col("outdeg")) + 1).cast("int")
+  }
+
   def run(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
       salt: Long = 42L, maxSteps: Int = 200, stepBatch: Int = 8,
       broadcastEdgeLimit: Long = 4000000L,
@@ -106,17 +152,19 @@ object MonteCarloPpr {
     * src-partitioned adjacency (the join engine's traversal shape) and the
     * trace accumulates as per-step frames unioned at the end — walk count
     * bounds peak rows the same way `walkerBudget` does in [[run]] (cap
-    * walksPerNode per job and union jobs for more). */
+    * walksPerNode per job and union jobs for more).
+    *
+    * A `weight` edge column switches the draws to weight-proportional
+    * cumulative-integer picks (see [[buildAdj]]) — walkTrace over
+    * Coarsen.project output is the weighted host-graph walk corpus. */
   def walkTrace(edges: DataFrame, vertices: DataFrame, walksPerNode: Int,
       maxSteps: Int, damping: Double = 0.85, salt: Long = 42L): DataFrame = {
     require(walksPerNode > 0, "walksPerNode must be > 0")
     require(maxSteps > 0, "maxSteps must be > 0")
     require(damping > 0 && damping <= 1, "damping must be in (0, 1]")
+    val weighted = edges.columns.contains("weight")
     IterTuning.withoutRuntimeFilters(edges.sparkSession) {
-      val adjList = edges.dropDuplicates("src", "dst").groupBy(col("src"))
-        .agg(sort_array(collect_list(col("dst"))).as("dsts"))
-        .select(col("src"), col("dsts"), size(col("dsts")).as("outdeg"))
-        .persist()
+      val adjList = buildAdj(edges, weighted, dedup = true).persist()
       var walkers = vertices.join(adjList, vertices("id") === adjList("src"))
         .select(col("id").as("seed"),
           explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walkId"),
@@ -134,13 +182,9 @@ object MonteCarloPpr {
           else walkers.where(
             (mix31(col("seed"), col("walkId"), lit(step), survivalSalt(salt))
               / lit(P.toDouble)) <= damping)
-        val pick =
-          if (step == 1) pmod(col("walkId"), col("outdeg"))
-          else pmod(col("walkId") + mix31(col("seed"), col("cur"), lit(step), pickSalt(salt)),
-            col("outdeg"))
         walkers = survivors.join(adjList, survivors("cur") === adjList("src"))
           .select(col("seed"), col("walkId"),
-            element_at(col("dsts"), (pick + 1).cast("int")).as("cur"))
+            element_at(col("dsts"), pickIdx(step, salt, weighted)).as("cur"))
           .localCheckpoint(true)
         traces ::= walkers.select(col("seed"), col("walkId").as("walk_id"),
           lit(step).as("step"), col("cur").as("node"))
@@ -182,9 +226,8 @@ object MonteCarloPpr {
     // is ONE narrow stage — the per-step shuffle latency was the dominant
     // cost at small scale); above it, the adjacency is hash-partitioned by
     // src once and reused every step.
-    val adjBase = edges.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("dsts"))
-      .select(col("src"), col("dsts"), size(col("dsts")).as("outdeg"))
+    val weighted = edges.columns.contains("weight")
+    val adjBase = buildAdj(edges, weighted, dedup = false)
     val smallAdj = edges.count() <= broadcastEdgeLimit
     val adjPersisted =
       (if (smallAdj) adjBase else adjBase.repartition(shufflePartitions, col("src"))).persist()
@@ -221,10 +264,10 @@ object MonteCarloPpr {
     }
 
     if (useLocalWalk && effective > 0) {
-      val visitAgg = localWalk(walkOrigins, adjPersisted, effective, d, salt, maxSteps)
+      val visitAgg = localWalk(walkOrigins, adjPersisted, effective, d, salt, maxSteps, weighted)
       walkOrigins.unpersist()
       return finishFromVisits(edges, vertices, adjList, adjPersisted, cfg, visitAgg,
-        McWalkStats(0L, 0, nOrigins, nOrigins * effective))
+        McWalkStats(0L, 0, nOrigins, nOrigins * effective), weighted)
     }
 
     def oneStep(cur: DataFrame, step: Int): DataFrame = {
@@ -233,13 +276,9 @@ object MonteCarloPpr {
         else cur.where(
           (mix31(col("seed"), col("walkId"), lit(step), survivalSalt(salt))
             / lit(P.toDouble)) <= d)
-      val pick =
-        if (step == 1) pmod(col("walkId"), col("outdeg"))
-        else pmod(col("walkId") + mix31(col("seed"), col("cur"), lit(step), pickSalt(salt)),
-          col("outdeg"))
       survivors.join(adjList, survivors("cur") === adjList("src"))
         .select(col("seed"), col("walkId"),
-          element_at(col("dsts"), (pick + 1).cast("int")).as("cur"))
+          element_at(col("dsts"), pickIdx(step, salt, weighted)).as("cur"))
     }
 
     // Per batch: chain `stepBatch` steps lazily with a per-step persist;
@@ -315,7 +354,7 @@ object MonteCarloPpr {
       case many       => many.reduce(_ union _)
     }
     finishFromVisits(edges, vertices, adjList, adjPersisted, cfg, visitAgg,
-      McWalkStats(maxInFlight, nChunks, nOrigins, nOrigins * effective))
+      McWalkStats(maxInFlight, nChunks, nOrigins, nOrigins * effective), weighted)
   }
 
   /** The whole walk phase as ONE mapPartitions pass over the origins
@@ -327,13 +366,19 @@ object MonteCarloPpr {
     * partials — an origin's walks all live in its task, so the partials
     * are already per-seed-complete. */
   private def localWalk(walkOrigins: DataFrame, adjPersisted: DataFrame,
-      effective: Long, d: Double, salt: Long, maxSteps: Int): DataFrame = {
+      effective: Long, d: Double, salt: Long, maxSteps: Int,
+      weighted: Boolean): DataFrame = {
     import graft.kernels.Mix.mix31Scala
     val spark = walkOrigins.sparkSession
     import spark.implicits._
-    val adjRows = adjPersisted.select(col("src"), col("dsts")).collect()
-    val amap = new java.util.HashMap[Long, Array[Long]](adjRows.length * 2)
-    adjRows.foreach(row => amap.put(row.getLong(0), row.getSeq[Long](1).toArray))
+    // weighted entries carry the cumulative-weight array next to the dsts
+    // (null when unweighted) — the scalar twin of the Column-side pickIdx
+    val adjRows =
+      (if (weighted) adjPersisted.select(col("src"), col("dsts"), col("cws"))
+       else adjPersisted.select(col("src"), col("dsts"))).collect()
+    val amap = new java.util.HashMap[Long, (Array[Long], Array[Long])](adjRows.length * 2)
+    adjRows.foreach(row => amap.put(row.getLong(0),
+      (row.getSeq[Long](1).toArray, if (weighted) row.getSeq[Long](2).toArray else null)))
     val bc = spark.sparkContext.broadcast(amap)
     val sSalt = survivalSalt(salt)
     val pSalt = pickSalt(salt)
@@ -354,13 +399,20 @@ object MonteCarloPpr {
           while (alive && s <= maxSteps) {
             if (s > 1 && (mix31Scala(seed, w, s, sSalt) / P.toDouble) > d) alive = false
             else {
-              val dsts = adj.get(cur)
-              if (dsts == null || dsts.length == 0) alive = false
+              val entry = adj.get(cur)
+              if (entry == null || entry._1.length == 0) alive = false
               else {
-                val pick =
-                  if (s == 1) w % dsts.length
-                  else (w + mix31Scala(seed, cur, s, pSalt)) % dsts.length
-                cur = dsts(pick.toInt)
+                val (dsts, cws) = entry
+                val base = if (s == 1) w else w + mix31Scala(seed, cur, s, pSalt)
+                val idx =
+                  if (cws == null) (base % dsts.length).toInt
+                  else { // cumulative-weight interval containing r
+                    val r = base % cws(cws.length - 1)
+                    var i = 0
+                    while (cws(i) <= r) i += 1
+                    i
+                  }
+                cur = dsts(idx)
                 mine(cur) = mine.getOrElse(cur, 0L) + 1L
                 s += 1
               }
@@ -378,10 +430,18 @@ object MonteCarloPpr {
   }
 
   /** Phase 1.5 + 2, shared by both walk engines: fold origin self-visits
-    * in, prune to L, then the one gather superstep (:211-250). */
+    * in, prune to L, then the one gather superstep (:211-250).
+    *
+    * Weighted combine: the per-node factor d/outdeg generalizes to the
+    * PER-EDGE factor d·w(s,t)/Σ_out w(s), so scaling moves from after the
+    * prune to inside the gather (for the unweighted case the two orders are
+    * equivalent — the factor is a positive per-seed constant, so pre- and
+    * post-scale top-L agree; per-edge factors force scale-then-prune). The
+    * self entry is exactly 1.0 either way (:124's origin-counts-itself). */
   private def finishFromVisits(edges: DataFrame, vertices: DataFrame,
       adjList: DataFrame, adjPersisted: DataFrame, cfg: PprConfig,
-      visitAgg: DataFrame, stats: McWalkStats): (DataFrame, McWalkStats) = {
+      visitAgg: DataFrame, stats: McWalkStats,
+      weighted: Boolean = false): (DataFrame, McWalkStats) = {
     val r = cfg.iterations
     val d = cfg.damping
     val selfVisits = vertices.select(col("id").as("seed"), col("id").as("node"),
@@ -400,17 +460,32 @@ object MonteCarloPpr {
     if (visitAgg != null) IterativeEngine.freeCheckpointBlocks(visitAgg)
 
     // ---- phase 2: one gather superstep over walk baskets (:211-250) -----
-    val factor = vertices.join(adjList, vertices("id") === adjList("src"), "left")
-      .select(col("id"),
-        when(col("outdeg").isNull || col("outdeg") === 0, lit(1.0))
-          .otherwise(lit(d) / col("outdeg")).as("factor"))
-    val selfRows = factor.select(col("id").as("seed"), col("id").as("node"),
-      (lit(1.0) / col("factor")).as("score"))
-    val succRows = edges.join(walkBaskets, edges("dst") === walkBaskets("seed"))
-      .select(edges("src").as("seed"), col("node"), col("score"))
-    val combined = TopK.pruneTopL(selfRows.union(succRows), cfg.L, cfg.topLStrategy, cfg.quantize)
-      .join(factor.withColumnRenamed("id", "seed"), Seq("seed"))
-      .select(col("seed"), col("node"), (col("score") * col("factor")).as("score"))
+    val combined = if (weighted) {
+      val ew = edges.where(col("weight") > 0)
+        .groupBy(col("src"), col("dst"))
+        .agg(sum(col("weight")).cast("long").as("w"))
+      val ws = ew.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+      val edgeFactor = ew.join(ws, "src")
+        .select(col("src"), col("dst"), (lit(d) * col("w") / col("wsum")).as("efactor"))
+      val selfRows = vertices.select(col("id").as("seed"), col("id").as("node"),
+        lit(1.0).as("score"))
+      val succRows = edgeFactor.join(walkBaskets, edgeFactor("dst") === walkBaskets("seed"))
+        .select(edgeFactor("src").as("seed"), col("node"),
+          (col("score") * col("efactor")).as("score"))
+      TopK.pruneTopL(selfRows.union(succRows), cfg.L, cfg.topLStrategy, cfg.quantize)
+    } else {
+      val factor = vertices.join(adjList, vertices("id") === adjList("src"), "left")
+        .select(col("id"),
+          when(col("outdeg").isNull || col("outdeg") === 0, lit(1.0))
+            .otherwise(lit(d) / col("outdeg")).as("factor"))
+      val selfRows = factor.select(col("id").as("seed"), col("id").as("node"),
+        (lit(1.0) / col("factor")).as("score"))
+      val succRows = edges.join(walkBaskets, edges("dst") === walkBaskets("seed"))
+        .select(edges("src").as("seed"), col("node"), col("score"))
+      TopK.pruneTopL(selfRows.union(succRows), cfg.L, cfg.topLStrategy, cfg.quantize)
+        .join(factor.withColumnRenamed("id", "seed"), Seq("seed"))
+        .select(col("seed"), col("node"), (col("score") * col("factor")).as("score"))
+    }
 
     val result = TopK.topKWindow(combined, cfg.K).localCheckpoint(true)
     IterativeEngine.freeCheckpointBlocks(walkBaskets) // result materialized

@@ -191,6 +191,50 @@ class PprSpec extends AnyFunSuite with GraphFixtures {
     }
   }
 
+  test("mc weighted: local and join engines bit-identical; unit weights reduce to unweighted") {
+    val s = spark
+    import s.implicits._
+    val pairs = randomGraph(18, 55, seed = 7)
+    val vs = verticesDf(0L until 18L)
+    // deterministic integer weights in [1, 5]
+    val wEdges = pairs.map { case (a, b) => (a, b, 1L + (a * 31 + b * 17) % 5) }
+      .toDF("src", "dst", "weight")
+    val cfg = PprConfig(5, 9, 40, topLStrategy = "window", quantize = 1e12)
+    val local = MonteCarloPpr.runWithStats(wEdges, vs, cfg, maxSteps = 24, walkMode = "local")._1
+    val join = MonteCarloPpr.runWithStats(wEdges, vs, cfg, maxSteps = 24, walkMode = "join")._1
+    assertAllClose(baskets(local), baskets(join), 0.0)
+    // all-ones weights: cumulative pick r lands on index r — the uniform
+    // draw — so the WALK phase is bit-identical; the combine phase
+    // associates the factor differently (unweighted: grid(Σ raw)·f;
+    // weighted per-edge: grid(Σ raw_i·f)), so final scores agree to float
+    // low bits, not bit-exactly
+    val ones = pairs.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "weight")
+    val unw = MonteCarloPpr.run(edgesDf(pairs), vs, cfg, maxSteps = 24)
+    val w1 = MonteCarloPpr.run(ones, vs, cfg, maxSteps = 24)
+    assertAllClose(baskets(unw), baskets(w1), 1e-9)
+  }
+
+  test("walkTrace weighted: picks land on cumulative-weight intervals; unit weights reduce to uniform") {
+    val s = spark
+    import s.implicits._
+    // 0 -> 1 (w=1), 0 -> 2 (w=3): totw=4, intervals [0,1) -> 1, [1,4) -> 2.
+    // Step 1 pick is walkId % 4, so walk 0 goes to 1, walks 1..3 go to 2.
+    val wEdges = Seq((0L, 1L, 1L), (0L, 2L, 3L)).toDF("src", "dst", "weight")
+    val got = MonteCarloPpr.walkTrace(wEdges, verticesDf(Seq(0L, 1L, 2L)),
+      walksPerNode = 4, maxSteps = 1, damping = 0.85, salt = 42L)
+      .where(col("step") === 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // unit weights == no weight column, every position identical
+    val pairs = randomGraph(15, 45, seed = 9)
+    val ones = pairs.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "weight")
+    val vs = verticesDf(0L until 15L)
+    def trace(e: org.apache.spark.sql.DataFrame) =
+      MonteCarloPpr.walkTrace(e, vs, walksPerNode = 2, maxSteps = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(trace(ones) == trace(edgesDf(pairs)))
+  }
+
   // ---- forward-push PPR (operators/PushPpr) -----------------------------
   test("push: converges to exact PPR within the total-residual bound") {
     val es = randomGraph(20, 70, seed = 5)
