@@ -41,7 +41,9 @@ object Bench {
     "q_scc", "q_hits", "q_harmonic", "q_trustrank", "q_host_pagerank",
     "q_dedup_clusters", "q_corpus_prep", "q_neighborhood_function",
     "q_bowtie", "q_walk_trace", "q_assortativity", "q_degree_hist",
-    "q_unigram_logprob")
+    "q_unigram_logprob",
+    // round-6 additions
+    "q_mc_ppr_weighted", "q_walk_trace_weighted", "q_host_walk_corpus")
 
   private def session(cores: Int, shufflePartitions: Int): SparkSession = {
     new java.io.File("/dev/shm/graft-spark").mkdirs()

@@ -74,7 +74,8 @@ object ScaleSuite {
           damping = 0.85, tolerance = -1).state),
         "clustering_coeff" -> (() => Triangles.clusteringCoefficient(edges, vertices)),
         // round-5 additions
-        "scc" -> (() => Scc.scc(edges, vertices)),
+        "scc" -> (() => Scc.scc(edges, vertices)), // doubling default (r6)
+        "scc_nodouble" -> (() => Scc.scc(edges, vertices, labelDoubling = false)),
         "hits_i8" -> (() => Hits.run(edges, vertices, iterations = 8, tolerance = -1)),
         "harmonic_r4" -> (() => HyperBall.centralities(edges, vertices, rounds = 4)),
         "trustrank_i10" -> (() => ExactPpr.runVector(edges,

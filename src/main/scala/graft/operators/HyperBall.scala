@@ -32,7 +32,13 @@ import graft.kernels.Mix
   */
 object HyperBall {
 
-  /** Per-vertex register table of ball_rounds: (id, bucket, rho). */
+  /** Per-vertex register table of ball_rounds: (id, bucket, rho).
+    *
+    * Choosing p: each per-vertex ball estimate carries HLL's ±1.04/√2^p
+    * standard error (p=6 → ±13%, p=8 → ±6.5%, p=10 → ±3.25% — see
+    * Sketch.hllRegisters and the measured sweep in BASELINE.md §HLL), and
+    * state is |V|·2^p register rows — the p knob trades one directly for
+    * the other (Boldi & Vigna run p=4..12 at web scale for this reason). */
   def registers(edges: DataFrame, vertices: DataFrame, rounds: Int,
       p: Int = 6, salt: Long = 42L, tolerance: Double = 0.5): DataFrame = {
     require(rounds > 0, "rounds must be > 0")

@@ -84,7 +84,7 @@ object Scc {
   def scc(edges: DataFrame, vertices: DataFrame, maxRefineRounds: Int = 30,
       maxPropagateRounds: Int = 500,
       checkpoint: Option[CheckpointManager] = None, checkpointEvery: Int = 0,
-      resume: Boolean = false): DataFrame =
+      resume: Boolean = false, labelDoubling: Boolean = true): DataFrame =
     IterTuning.withoutRuntimeFilters(edges.sparkSession) {
       val e0 = cut(edges
         .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
@@ -115,7 +115,7 @@ object Scc {
           .where(col("scf") === col("dcf") && col("scb") === col("dcb"))
           .select(col("src"), col("dst")))
         val cand = cut(biMinPropagate(eAct.frame, active.frame.select(col("id")),
-          maxPropagateRounds))
+          maxPropagateRounds, labelDoubling))
         free(eAct)
         // finalized frames are kept alive to the end — only their Cut
         // bookkeeping wrapper is dropped
@@ -198,8 +198,19 @@ object Scc {
   /** Fused forward/backward min-label propagation: lab(v, dir) starts at v;
     * each superstep lab(v, dir) ← min(lab(v, dir), dir-tagged in-neighbor
     * labels) as ONE union + map-side-combinable min aggregation. Returns
-    * (id, f, b). */
-  private def biMinPropagate(e: DataFrame, verts: DataFrame, maxRounds: Int): DataFrame = {
+    * (id, f, b).
+    *
+    * `doubling` adds a pointer-doubling hop per round (VERDICT r5 #6 — the
+    * round-BATCHING experiment was measured slower and reverted; this is
+    * the other axis): labels are vertex ids, and lab(u) = w means w reaches
+    * u, so min(lab(v), lab(lab(v))) extends the reached path length
+    * multiplicatively — round count drops from the in-class diameter toward
+    * log₂(diameter) at the price of a second join (state ⋈ state on
+    * lab = id) per round. Same fixpoint, same hashes (test-gated); whether
+    * the trade wins depends on whether rounds or per-round exchanges
+    * dominate — measured on the bench graphs, recorded in BASELINE.md. */
+  private def biMinPropagate(e: DataFrame, verts: DataFrame, maxRounds: Int,
+      doubling: Boolean = false): DataFrame = {
     val eBi = cut(biEdges(e))
     var state = cut(verts.select(col("id"), explode(array(lit(0), lit(1))).as("dir"))
       .select(col("id"), col("dir"), col("id").as("lab")))
@@ -217,7 +228,19 @@ object Scc {
         .join(eBi.frame, state.frame("id") === eBi.frame("src") &&
           state.frame("dir") === eBi.frame("dir"))
         .select(eBi.frame("dst").as("id"), eBi.frame("dir").as("dir"), col("lab"))
-      val next = cut(state.frame.union(gathered)
+      val contributions =
+        if (!doubling) state.frame.union(gathered)
+        else {
+          // pointer-doubling hop: follow v's current label to ITS label —
+          // lab(v)=u and lab(u)=w imply w ⇝ u ⇝ v in this direction
+          val s2 = state.frame.select(col("id").as("lid"), col("dir").as("ldir"),
+            col("lab").as("llab"))
+          val hop = state.frame
+            .join(s2, state.frame("lab") === s2("lid") && state.frame("dir") === s2("ldir"))
+            .select(state.frame("id"), state.frame("dir"), col("llab").as("lab"))
+          state.frame.union(gathered).union(hop)
+        }
+      val next = cut(contributions
         .groupBy(col("id"), col("dir"))
         .agg(min(col("lab")).as("lab")))
       val tMat = System.nanoTime()

@@ -164,6 +164,29 @@ class FunctionsSpec extends AnyFunSuite with GraphFixtures {
     assert(got.count(v => math.abs(v - 1.0) < 1e-7) == 2) // self-cosine
   }
 
+  test("ANN recall floors on the deterministic synthetic corpus (ANNGRID anchors)") {
+    // the BASELINE.md ANNGRID table's measured points, asserted as floors
+    // just below the deterministic values (uniform random embeddings — the
+    // HARD case for bucketed ANN: near-orthogonal neighbors; recall knobs
+    // still must move the needle in the documented direction)
+    val emb = graft.sources.Synth.embeddings(spark, 500)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .localCheckpoint(true)
+    val q = emb.where(col("vec_id") < 40)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 10).localCheckpoint(true)
+    def recall(approx: org.apache.spark.sql.DataFrame, m: String): Double =
+      Similarity.recallAtK(approx, exact, k = 10, method = m)
+        .collect()(0).getAs[Double]("avg_recall")
+    val lsh8 = recall(Similarity.lshTopK(q, emb, k = 10, planes = 8, dims = 64), "lsh")
+    val lsh12 = recall(Similarity.lshTopK(q, emb, k = 10, planes = 12, dims = 64), "lsh")
+    val ivf2 = recall(Similarity.ivfTopK(q, emb, k = 10, nCells = 16, nProbe = 2, dims = 64), "ivf")
+    val ivf8 = recall(Similarity.ivfTopK(q, emb, k = 10, nCells = 16, nProbe = 8, dims = 64), "ivf")
+    assert(lsh8 > 0.2, s"lsh planes=8 recall $lsh8")
+    assert(lsh8 > lsh12, s"fewer planes must raise recall: $lsh8 vs $lsh12") // bigger buckets
+    assert(ivf8 > 0.5, s"ivf nProbe=8/16 recall $ivf8")
+    assert(ivf8 > ivf2, s"more probes must raise recall: $ivf8 vs $ivf2")
+  }
+
   test("brute-force cosine top-k returns the true nearest neighbors") {
     val base = Seq(1f, 0f, 0f, 0f)
     val rows = Seq(

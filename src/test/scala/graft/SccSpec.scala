@@ -114,6 +114,16 @@ class SccSpec extends AnyFunSuite with GraphFixtures {
       15L -> "OTHER", 16L -> "OTHER", 20L -> "OTHER", 21L -> "OTHER"))
   }
 
+  test("scc: pointer-doubling propagation reaches the identical fixpoint") {
+    val edges = randomGraph(50, 160, seed = 31).filter(e => e._1 != e._2)
+    val nodes = (0L until 50L).toSeq
+    val plain = Scc.scc(edgesDf(edges), verticesDf(nodes), labelDoubling = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val doubled = Scc.scc(edgesDf(edges), verticesDf(nodes), labelDoubling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == doubled)
+  }
+
   test("bowtie: precomputed scc frame gives the identical decomposition") {
     val edges = Seq(
       (5L, 6L), (6L, 7L), (7L, 5L),
