@@ -86,7 +86,19 @@ object ScaleSuite {
           val m = vertices.select(col("id"), pmod(col("id"), lit(9973)).as("grp"))
           PageRank.run(Coarsen.project(edges, m),
             m.select(col("grp").as("id")).distinct(), iterations = 10, tolerance = -1)
-        }))
+        }),
+        // round-6 additions: the walk-corpus family, uniform and weighted
+        // (deterministic integer weights planted on the bench edges)
+        "walk_trace_r2" -> (() =>
+          MonteCarloPpr.walkTrace(edges, vertices, walksPerNode = 2, maxSteps = 8)),
+        "walk_trace_weighted_r2" -> (() =>
+          MonteCarloPpr.walkTrace(
+            edges.withColumn("weight", pmod(xxhash64(col("src"), col("dst")), lit(5L)) + 1),
+            vertices, walksPerNode = 2, maxSteps = 8)),
+        "mc_ppr_weighted_r30" -> (() => MonteCarloPpr.run(
+          edges.withColumn("weight", pmod(xxhash64(col("src"), col("dst")), lit(5L)) + 1),
+          vertices, PprConfig(K = 10, L = 20, iterations = 30, topLStrategy = "window"),
+          maxSteps = 64)))
 
       // optional name filter for re-measuring individual operators
       val only = sys.env.get("SPARK_GRAFT_SUITE_ONLY").map(_.split(',').toSet)

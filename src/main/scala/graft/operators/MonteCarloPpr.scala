@@ -133,9 +133,12 @@ object MonteCarloPpr {
   def run(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
       salt: Long = 42L, maxSteps: Int = 200, stepBatch: Int = 8,
       broadcastEdgeLimit: Long = 4000000L,
-      walkerBudget: Long = 100000000L, walkMode: String = "auto"): DataFrame =
+      walkerBudget: Long = 100000000L, walkMode: String = "auto",
+      checkpoint: Option[CheckpointManager] = None, checkpointEvery: Int = 0,
+      resume: Boolean = false): DataFrame =
     runWithStats(edges, vertices, cfg, salt, maxSteps, stepBatch,
-      broadcastEdgeLimit, walkerBudget, walkMode)._1
+      broadcastEdgeLimit, walkerBudget, walkMode, checkpoint, checkpointEvery,
+      resume)._1
 
   /** Random-walk CORPUS generator — the walk TRACE rather than the visit
     * counts: one row (seed, walk_id, step, node) per position of every
@@ -196,18 +199,33 @@ object MonteCarloPpr {
     }
   }
 
+  /** Checkpoint/resume (the engine-wide contract, here for the walk
+    * engine): the walk-id CHUNK is the natural snapshot unit — with
+    * `checkpointEvery` > 0 and a [[CheckpointManager]], every Nth finished
+    * chunk saves the merged (seed, node, visits) partial with the usual
+    * per-partition lineage manifest; `resume = true` restarts from the
+    * latest committed chunk. Every draw is a pure function of the ABSOLUTE
+    * walkId, so resumed and straight-through runs are bit-identical
+    * (test-gated) — PROVIDED the resumed call passes the same cfg, salt,
+    * walkerBudget and graph (chunk boundaries are derived from them).
+    * Applies to the join engine's chunk loop; the local engine is a single
+    * job with nothing to snapshot (checkpoint args are ignored there). */
   def runWithStats(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
       salt: Long = 42L, maxSteps: Int = 200, stepBatch: Int = 8,
       broadcastEdgeLimit: Long = 4000000L,
-      walkerBudget: Long = 100000000L, walkMode: String = "auto"): (DataFrame, McWalkStats) =
+      walkerBudget: Long = 100000000L, walkMode: String = "auto",
+      checkpoint: Option[CheckpointManager] = None, checkpointEvery: Int = 0,
+      resume: Boolean = false): (DataFrame, McWalkStats) =
     IterTuning.withoutRuntimeFilters(edges.sparkSession) {
       runInner(edges, vertices, cfg, salt, maxSteps, stepBatch, broadcastEdgeLimit,
-        walkerBudget, walkMode)
+        walkerBudget, walkMode, checkpoint, checkpointEvery, resume)
     }
 
   private def runInner(edges: DataFrame, vertices: DataFrame, cfg: PprConfig,
       salt: Long, maxSteps: Int, stepBatchRaw: Int, broadcastEdgeLimit: Long,
-      walkerBudget: Long, walkMode: String): (DataFrame, McWalkStats) = {
+      walkerBudget: Long, walkMode: String,
+      checkpoint: Option[CheckpointManager], checkpointEvery: Int,
+      resume: Boolean): (DataFrame, McWalkStats) = {
     require(Set("auto", "local", "join")(walkMode),
       s"walkMode must be auto|local|join, got '$walkMode'")
     // Catalyst cost grows super-linearly with chained join depth: a 16-step
@@ -297,7 +315,14 @@ object MonteCarloPpr {
     var maxInFlight = 0L
     var nChunks = 0
     var chunkLo = 0L
+    var ckptHistory = Vector.empty[IterMetrics]
+    if (resume && checkpoint.isDefined) checkpoint.get.latest(spark).foreach { case (i, df) =>
+      chunkAggs = List(df.localCheckpoint(true))
+      nChunks = i
+      chunkLo = math.min(effective, i.toLong * chunkSize)
+    }
     while (chunkLo < effective) {
+      val tChunk = System.nanoTime()
       val chunkHi = math.min(effective, chunkLo + chunkSize)
       nChunks += 1
       var walkers = walkOrigins
@@ -344,6 +369,24 @@ object MonteCarloPpr {
       }
       if (chunkAgg != null) chunkAggs ::= chunkAgg
       chunkLo = chunkHi
+      if (checkpointEvery > 0 && checkpoint.isDefined && nChunks % checkpointEvery == 0) {
+        // fold the partials into ONE frame (also bounds the final union
+        // fan-in on long runs), snapshot it as chunk `nChunks`
+        val merged = chunkAggs match {
+          case one :: Nil => one
+          case many =>
+            val m = many.reduce(_ union _)
+              .groupBy(col("seed"), col("node")).agg(sum(col("visits")).as("visits"))
+              .localCheckpoint(true)
+            many.foreach(IterativeEngine.freeCheckpointBlocks)
+            m
+        }
+        chunkAggs = List(merged)
+        val met = IterMetrics(nChunks, Double.NaN, merged.count(),
+          (System.nanoTime() - tChunk) / 1000000)
+        ckptHistory :+= met
+        checkpoint.get.save(merged, nChunks, met, ckptHistory)
+      }
     }
     walkOrigins.unpersist()
     // raw union of chunk partials — the final (seed,node) sum happens in

@@ -191,6 +191,29 @@ class PprSpec extends AnyFunSuite with GraphFixtures {
     }
   }
 
+  test("mc: resume from a mid-run chunk checkpoint equals the straight-through run") {
+    val es = edgesDf(randomGraph(20, 60, seed = 5)); val vs = verticesDf(0L until 20L)
+    val cfg = PprConfig(4, 8, 40, topLStrategy = "window", quantize = 1e12)
+    val dir = java.nio.file.Files.createTempDirectory("mc-ckpt").toString
+    val mgr = new operators.CheckpointManager(dir)
+    // budget 60 forces several chunks (effective 34 walks over ~20 origins)
+    val straight = baskets(MonteCarloPpr.run(es, vs, cfg, maxSteps = 24,
+      walkerBudget = 60, walkMode = "join", checkpoint = Some(mgr), checkpointEvery = 1))
+    val committed = mgr.committed()
+    assert(committed.size >= 2, s"expected >=2 chunk snapshots, got $committed")
+    // keep only the FIRST snapshot (simulate a crash after chunk 1), resume
+    committed.tail.foreach { i =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(f"$dir/iter_$i%06d"))
+    }
+    assert(mgr.committed() == Seq(committed.head))
+    val resumed = baskets(MonteCarloPpr.run(es, vs, cfg, maxSteps = 24,
+      walkerBudget = 60, walkMode = "join", checkpoint = Some(mgr), resume = true))
+    assertAllClose(straight, resumed, 0.0) // absolute-walkId draws: bit-identical
+  }
+
   test("mc weighted: local and join engines bit-identical; unit weights reduce to unweighted") {
     val s = spark
     import s.implicits._
