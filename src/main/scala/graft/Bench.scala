@@ -43,7 +43,8 @@ object Bench {
     "q_bowtie", "q_walk_trace", "q_assortativity", "q_degree_hist",
     "q_unigram_logprob",
     // round-6 additions
-    "q_mc_ppr_weighted", "q_walk_trace_weighted", "q_host_walk_corpus")
+    "q_mc_ppr_weighted", "q_walk_trace_weighted", "q_host_walk_corpus",
+    "q_tfidf", "q_sample_stratified")
 
   private def session(cores: Int, shufflePartitions: Int): SparkSession = {
     new java.io.File("/dev/shm/graft-spark").mkdirs()

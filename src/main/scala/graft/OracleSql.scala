@@ -197,6 +197,40 @@ object OracleSql {
        |  (CAST(sum(CAST(round(lp * 1e12) AS BIGINT)) AS BIGINT) / 1e12) / count(*) AS avg_logprob
        |FROM lp GROUP BY 1""".stripMargin
 
+  /** Deterministic hash-threshold sampling (functions/Sampling): the same
+    * mix31(id) < fraction·P inequality, P.toDouble on both sides. */
+  def sampleByHash(fraction: Double, salt: Long): String =
+    s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+       |WHERE CAST((${graft.kernels.Mix.sql("doc_id", "0", "2", salt)}) AS DOUBLE)
+       |      < ${dlit(fraction)} * ${dlit(graft.kernels.Mix.P.toDouble)}""".stripMargin
+
+  /** Stratified variant: per-source fractions, default for the rest. */
+  def sampleStratified(fractions: Seq[(String, Double)], default: Double,
+      salt: Long): String = {
+    val cases = fractions.map { case (s, f) => s"WHEN '$s' THEN ${dlit(f)}" }.mkString(" ")
+    s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+       |WHERE CAST((${graft.kernels.Mix.sql("doc_id", "0", "2", salt)}) AS DOUBLE)
+       |      < (CASE source $cases ELSE ${dlit(default)} END) * ${dlit(graft.kernels.Mix.P.toDouble)}""".stripMargin
+  }
+
+  /** TF-IDF top terms (functions/TextAnalysis.tfidfTopTerms): exact-integer
+    * tf/df/N, ln of one exact-operand division, product on the 1e-12 grid,
+    * deterministic (score desc, tok asc) ranking. */
+  def tfidfTopTerms(topN: Int): String =
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id,
+       |   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok FROM documents),
+       | dt AS MATERIALIZED (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+       | dfq AS MATERIALIZED (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+       | n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+       |SELECT doc_id, tok, score, rank FROM (
+       | SELECT dt.doc_id, dt.tok,
+       |   round(CAST(tf AS DOUBLE) * ln(nd / CAST(df AS DOUBLE)) * 1e12) / 1e12 AS score,
+       |   row_number() OVER (PARTITION BY dt.doc_id
+       |     ORDER BY round(CAST(tf AS DOUBLE) * ln(nd / CAST(df AS DOUBLE)) * 1e12) / 1e12 DESC,
+       |              dt.tok ASC) AS rank
+       | FROM dt JOIN dfq USING (tok) CROSS JOIN n)
+       |WHERE rank <= $topN""".stripMargin
+
   /** Degree assortativity (operators/GraphStats.assortativity): exact
     * integer sufficient statistics, fixed-order final expression, 1e-6
     * grid. */

@@ -451,6 +451,17 @@ object SparkEntry {
     }),
     "q_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogprob(t(s, dir, "documents"))),
+    // TF-IDF keyword extraction (r6): exact-integer tf/df/N, grid scores,
+    // deterministic (score desc, tok asc) top-5 per doc
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), topN = 5)),
+    // deterministic hash-threshold sampling (r6): partitioning-invariant,
+    // nestable, SQL-replayable — DataFrame.sample can be none of those
+    "q_sample_hash" -> ((s, dir) =>
+      functions.Sampling.sampleByHash(t(s, dir, "documents"), "doc_id", fraction = 0.25)),
+    "q_sample_stratified" -> ((s, dir) =>
+      functions.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultFraction = 0.1)),
     "q_text_annotate" -> ((s, dir) =>
       TextAnalysis.annotate(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality"))),
@@ -698,6 +709,10 @@ object SparkEntry {
       bands = 8, rowsPerBand = 4, threshold = 0.7, salt = 42L),
     "q_text_annotate" -> OracleSql.textAnnotate(),
     "q_unigram_logprob" -> OracleSql.unigramLogprob(),
+    "q_tfidf" -> OracleSql.tfidfTopTerms(topN = 5),
+    "q_sample_hash" -> OracleSql.sampleByHash(fraction = 0.25, salt = 42L),
+    "q_sample_stratified" -> OracleSql.sampleStratified(
+      Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), default = 0.1, salt = 42L),
     "q_corpus_prep" -> OracleSql.corpusPrep(quality = 0.7),
     "q_id_collision_audit" -> OracleSql.idCollisionAudit(modulus = 257),
     "q_multimodal_meta" -> OracleSql.multimodalMeta(n = 200, seed = 42L),

@@ -139,6 +139,41 @@ object TextAnalysis {
     res
   }
 
+  /** TF-IDF top terms per document — the classic relevance/keyword signal a
+    * corpus pipeline derives next to quality scores (and the distilled
+    * doc-vector a retrieval index ingests). tf = in-document count (exact
+    * long); idf = ln(N/df) with BOTH operands exact integers, so the one
+    * division and the ln see identical doubles in any IEEE engine; the
+    * product tf·idf lands on the engine-wide 1e-12 grid. Returns
+    * (idCol, tok, score, rank) for the `topN` terms per doc, ties broken
+    * (score desc, tok asc) — fully deterministic and DuckDB-replayable.
+    *
+    * 100-TB shape: same as [[unigramLogprob]] post-skew-fix — occurrences
+    * pre-aggregate to (doc, tok, tf) BEFORE the df join (any token key ≤
+    * |docs| rows), df and N are map-side-combinable aggregates, the N
+    * scalar rides a 1-row broadcast, and the final top-N is one window over
+    * the (doc, tok) frame. */
+  def tfidfTopTerms(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", topN: Int = 5): DataFrame = {
+    require(topN > 0, "topN must be > 0")
+    val docTok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).cast("double").as("nd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("tok").asc)
+    val res = docTok.join(dfreq, "tok").crossJoin(broadcast(n))
+      .select(col(idCol), col("tok"),
+        (round(col("tf").cast("double") * log(col("nd") / col("df").cast("double"))
+          * 1e12) / 1e12).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long")) // BIGINT, like SQL row_number
+      .where(col("rank") <= topN)
+      .localCheckpoint(true)
+    docTok.unpersist()
+    res
+  }
+
   /** Rolling-hash document fingerprint: xxhash64 of every char-k-shingle,
     * keep the minimum (a 1-permutation MinHash — stable under small edits
     * far from the minimizing window), plus the exact content hash. */

@@ -94,7 +94,7 @@ object MonteCarloPpr {
     * node2vec-on-the-host-graph corpus case: Coarsen.project output is a
     * drop-in input). Non-positive weights drop; duplicate (src,dst) rows
     * sum their weights. */
-  private def buildAdj(edges: DataFrame, weighted: Boolean, dedup: Boolean): DataFrame =
+  private[graft] def buildAdj(edges: DataFrame, weighted: Boolean, dedup: Boolean): DataFrame =
     if (weighted) {
       val ew = edges.where(col("weight") > 0)
         .groupBy(col("src"), col("dst"))

@@ -239,6 +239,53 @@ class FunctionsSpec extends AnyFunSuite with GraphFixtures {
     assert(row.getDouble(2) == want)
   }
 
+  test("sampleByHash: deterministic, partitioning-invariant, nested thresholds are subsets") {
+    val s = spark
+    import s.implicits._
+    val d = s.range(10000).select(col("id").as("doc_id"))
+    def ids(f: Double, df: org.apache.spark.sql.DataFrame = d): Set[Long] =
+      graft.functions.Sampling.sampleByHash(df, "doc_id", f)
+        .collect().map(_.getLong(0)).toSet
+    val s25 = ids(0.25)
+    // deterministic and partitioning-invariant: same ids from a repartition
+    assert(ids(0.25, d.repartition(17)) == s25)
+    // rate lands near the target (hash-threshold Bernoulli, 10k draws)
+    assert(math.abs(s25.size / 10000.0 - 0.25) < 0.02, s"rate ${s25.size}")
+    // nested: a 10% sample is a subset of the 25% one (threshold only moves)
+    val s10 = ids(0.10)
+    assert(s10.subsetOf(s25))
+    assert(ids(0.0).isEmpty && ids(1.0).size == 10000)
+  }
+
+  test("stratifiedSample: per-stratum rates honored; absent strata use the default") {
+    val s = spark
+    import s.implicits._
+    val d = s.range(12000).select(col("id").as("doc_id"),
+      concat(lit("src"), col("id") % 3).as("source"))
+    val got = graft.functions.Sampling.stratifiedSample(d, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.2), defaultFraction = 0.0)
+    val bySrc = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 4000) // fraction 1.0 keeps everything
+    assert(math.abs(bySrc("src1") / 4000.0 - 0.2) < 0.03)
+    assert(!bySrc.contains("src2")) // default 0.0 drops the stratum
+    // schema passes through unchanged (join helper columns dropped)
+    assert(got.columns.toSeq == Seq("doc_id", "source"))
+  }
+
+  test("tfidfTopTerms: hand-computed scores; corpus-wide tokens get idf 0") {
+    // doc 1: "a a b", doc 2: "a c" — 'a' is in both docs (idf = ln(2/2) = 0),
+    // 'b' and 'c' in one (idf = ln 2)
+    val d = docs(Seq((1L, "a a b"), (2L, "a c")))
+    val got = TextAnalysis.tfidfTopTerms(d, topN = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val ln2 = math.round(math.log(2.0) * 1e12) / 1e12
+    assert(got((1L, "b")) == ((ln2, 1L))) // tf 1 · ln2 beats a's 0
+    assert(got((1L, "a")) == ((0.0, 2L)))
+    assert(got((2L, "c")) == ((ln2, 1L)))
+    assert(got((2L, "a")) == ((0.0, 2L)))
+  }
+
   test("clusters: transitive chains merge through the middle; pair-free docs self-canonicalize") {
     val s = spark
     import s.implicits._

@@ -48,4 +48,29 @@ class PushPlanSpec extends AnyFunSuite with GraphFixtures {
       adj.unpersist(); degs.unpersist()
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("weighted walk adjacency plans the minimal TWO exchanges (window shuffle reused by groupBy)") {
+    // buildAdj(weighted): the prefix-sum window partitions by src and the
+    // collect_list groupBy keys on src — the second must REUSE the first's
+    // hash(src) partitioning, or every adjacency build at 100 TB pays a
+    // gratuitous |E|-row shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val s = spark
+      import s.implicits._
+      val e = randomGraph(30, 150, seed = 7)
+        .map { case (a, b) => (a, b, 1L + (a + b) % 5) }
+        .toDF("src", "dst", "weight")
+        .localCheckpoint(true)
+      val adj = graft.operators.MonteCarloPpr.buildAdj(e, weighted = true, dedup = false)
+      val plan = adj.queryExecution.executedPlan.toString
+      val live = plan.split("InMemoryTableScan").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(live).size
+      // (src,dst) pre-aggregation + window + final groupBy all key on src
+      // (the pair agg keys (src,dst) — hash(src,dst) cannot be reused by
+      // the window's hash(src), so the honest minimum is 2)
+      assert(exchanges == 2, s"expected 2 live exchanges, got $exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
