@@ -231,6 +231,26 @@ object OracleSql {
        | FROM dt JOIN dfq USING (tok) CROSS JOIN n)
        |WHERE rank <= $topN""".stripMargin
 
+  /** PMI bigram collocations (functions/TextAnalysis.pmiBigrams): exact
+    * integer counts, ONE fixed-order IEEE expression, 1e-12 grid, total
+    * (pmi desc, a, b) order before the LIMIT. */
+  def pmiBigrams(minCount: Long, topN: Int): String =
+    s"""WITH ts AS MATERIALIZED (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents),
+       | bg0 AS MATERIALIZED (SELECT unnest(list_transform(range(1, len(ts)),
+       |     i -> struct_pack(a := ts[i], b := ts[i+1]))) AS s
+       |   FROM ts WHERE len(ts) >= 2),
+       | bg AS MATERIALIZED (SELECT s.a AS a, s.b AS b FROM bg0),
+       | cab AS MATERIALIZED (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2
+       |   HAVING count(*) >= $minCount),
+       | uni AS MATERIALIZED (SELECT unnest(ts) AS tok FROM ts),
+       | uc AS MATERIALIZED (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+       | tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS nu,
+       |                (SELECT CAST(count(*) AS DOUBLE) FROM bg) AS nb)
+       |SELECT a, b, c_ab,
+       |  round(ln((CAST(c_ab AS DOUBLE) * nu * nu) / (nb * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))) * 1e12) / 1e12 AS pmi
+       |FROM cab JOIN uc ca ON cab.a = ca.tok JOIN uc cb ON cab.b = cb.tok CROSS JOIN tot
+       |ORDER BY pmi DESC, a ASC, b ASC LIMIT $topN""".stripMargin
+
   /** Degree assortativity (operators/GraphStats.assortativity): exact
     * integer sufficient statistics, fixed-order final expression, 1e-6
     * grid. */

@@ -455,6 +455,10 @@ object SparkEntry {
     // deterministic (score desc, tok asc) top-5 per doc
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), topN = 5)),
+    // PMI bigram collocations (r6): the phrase-mining / word2vec-prep
+    // signal; exact counts, one fixed-order expression, global top-100
+    "q_pmi_bigrams" -> ((s, dir) =>
+      TextAnalysis.pmiBigrams(t(s, dir, "documents"), minCount = 5, topN = 100)),
     // deterministic hash-threshold sampling (r6): partitioning-invariant,
     // nestable, SQL-replayable — DataFrame.sample can be none of those
     "q_sample_hash" -> ((s, dir) =>
@@ -710,6 +714,7 @@ object SparkEntry {
     "q_text_annotate" -> OracleSql.textAnnotate(),
     "q_unigram_logprob" -> OracleSql.unigramLogprob(),
     "q_tfidf" -> OracleSql.tfidfTopTerms(topN = 5),
+    "q_pmi_bigrams" -> OracleSql.pmiBigrams(minCount = 5, topN = 100),
     "q_sample_hash" -> OracleSql.sampleByHash(fraction = 0.25, salt = 42L),
     "q_sample_stratified" -> OracleSql.sampleStratified(
       Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), default = 0.1, salt = 42L),

@@ -174,6 +174,57 @@ object TextAnalysis {
     res
   }
 
+  /** PMI bigram collocations — the phrase-mining / word2vec-prep signal
+    * (Mikolov et al. 2013 build phrase vocabularies exactly this way):
+    * for consecutive token pairs (a, b),
+    *
+    *   pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) )
+    *            = ln( (c_ab · Nu · Nu) / (Nb · c_a · c_b) )
+    *
+    * with c_ab = corpus bigram count, c_a/c_b = unigram counts, Nu/Nb =
+    * unigram/bigram totals — all exact integers, combined in ONE fixed
+    * expression order so both engines run the identical IEEE sequence;
+    * output lands on the 1e-12 grid. `minCount` drops rare-pair noise (the
+    * standard PMI degeneracy guard); result is the global top `topN` pairs
+    * by (pmi desc, a asc, b asc).
+    *
+    * 100-TB shape: bigram extraction is a per-row transform+explode; both
+    * count aggregations are map-side combinable keyed on (a, b) / token
+    * (the Zipf head pre-aggregates before the shuffle); the two unigram
+    * joins run against the (vocabulary-sized, broadcastable) count table;
+    * the global top-N is a combinable partial sort. */
+  def pmiBigrams(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minCount: Long = 5, topN: Int = 100): DataFrame = {
+    require(topN > 0, "topN must be > 0")
+    val toks = df.select(tokens(col(textCol)).as("ts"))
+    val bigrams = toks.where(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("a"),
+          element_at(col("ts"), (i + 1).cast("int")).as("b")))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val cAb = bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+      .persist()
+    val uni = toks.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .persist()
+    val totals = uni.agg(sum(col("c")).cast("double").as("nu"))
+      .crossJoin(bigrams.agg(count(lit(1)).cast("double").as("nb")))
+    val res = cAb
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"),
+        (round(log((col("c_ab").cast("double") * col("nu") * col("nu"))
+          / (col("nb") * col("c_a").cast("double") * col("c_b").cast("double")))
+          * 1e12) / 1e12).as("pmi"))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(topN)
+      .localCheckpoint(true)
+    cAb.unpersist(); uni.unpersist()
+    res
+  }
+
   /** Rolling-hash document fingerprint: xxhash64 of every char-k-shingle,
     * keep the minimum (a 1-permutation MinHash — stable under small edits
     * far from the minimizing window), plus the exact content hash. */

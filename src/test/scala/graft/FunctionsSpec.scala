@@ -286,6 +286,20 @@ class FunctionsSpec extends AnyFunSuite with GraphFixtures {
     assert(got((2L, "a")) == ((0.0, 2L)))
   }
 
+  test("pmiBigrams: perfectly-collocated pair scores ln(Nu²/(Nb·c·c)); independence near 0") {
+    // 'x y' always together (perfect collocation); 'a'/'b' mixed freely
+    val d = docs(Seq((1L, "x y a b a"), (2L, "x y b a b"), (3L, "x y a a b")))
+    val got = TextAnalysis.pmiBigrams(d, minCount = 2, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // counts: Nu = 15 tokens, Nb = 12 bigrams, c(x)=c(y)=3, c_xy=3
+    val want = math.round(math.log((3.0 * 15 * 15) / (12.0 * 3 * 3)) * 1e12) / 1e12
+    assert(got((("x", "y"))) == want)
+    // the top pair IS (x, y) — collocation dominates the mixed pairs
+    val top = TextAnalysis.pmiBigrams(d, minCount = 2, topN = 1)
+      .collect()(0)
+    assert((top.getString(0), top.getString(1)) == (("x", "y")))
+  }
+
   test("clusters: transitive chains merge through the middle; pair-free docs self-canonicalize") {
     val s = spark
     import s.implicits._
