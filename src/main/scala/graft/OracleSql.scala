@@ -251,6 +251,23 @@ object OracleSql {
        |FROM cab JOIN uc ca ON cab.a = ca.tok JOIN uc cb ON cab.b = cb.tok CROSS JOIN tot
        |ORDER BY pmi DESC, a ASC, b ASC LIMIT $topN""".stripMargin
 
+  /** Gopher repetition signals (functions/TextAnalysis.repetitionStats):
+    * exact-integer counts, single divisions — no grid needed. */
+  def repetitionStats(): String =
+    s"""WITH base AS MATERIALIZED (SELECT doc_id,
+       |   regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents),
+       | b2 AS MATERIALIZED (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+       |   CAST(len(list_distinct(ts)) AS BIGINT) AS nd FROM base),
+       | bg0 AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+       |     i -> struct_pack(a := ts[i], b := ts[i+1]))) AS s
+       |   FROM b2 WHERE n >= 2),
+       | bc AS MATERIALIZED (SELECT doc_id, s.a, s.b, count(*) AS c FROM bg0 GROUP BY 1, 2, 3),
+       | bt AS MATERIALIZED (SELECT doc_id, max(c) AS maxc FROM bc GROUP BY 1)
+       |SELECT b2.doc_id, n AS n_tokens,
+       |  CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / n ELSE 0.0 END AS dup_token_ratio,
+       |  CASE WHEN n >= 2 THEN CAST(coalesce(maxc, 0) AS DOUBLE) / (n - 1) ELSE 0.0 END AS top_bigram_frac
+       |FROM b2 LEFT JOIN bt ON b2.doc_id = bt.doc_id""".stripMargin
+
   /** Degree assortativity (operators/GraphStats.assortativity): exact
     * integer sufficient statistics, fixed-order final expression, 1e-6
     * grid. */

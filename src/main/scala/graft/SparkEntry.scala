@@ -459,6 +459,9 @@ object SparkEntry {
     // signal; exact counts, one fixed-order expression, global top-100
     "q_pmi_bigrams" -> ((s, dir) =>
       TextAnalysis.pmiBigrams(t(s, dir, "documents"), minCount = 5, topN = 100)),
+    // Gopher repetition filters (r6): dup-token ratio + top-bigram fraction
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))),
     // deterministic hash-threshold sampling (r6): partitioning-invariant,
     // nestable, SQL-replayable — DataFrame.sample can be none of those
     "q_sample_hash" -> ((s, dir) =>
@@ -715,6 +718,7 @@ object SparkEntry {
     "q_unigram_logprob" -> OracleSql.unigramLogprob(),
     "q_tfidf" -> OracleSql.tfidfTopTerms(topN = 5),
     "q_pmi_bigrams" -> OracleSql.pmiBigrams(minCount = 5, topN = 100),
+    "q_repetition" -> OracleSql.repetitionStats(),
     "q_sample_hash" -> OracleSql.sampleByHash(fraction = 0.25, salt = 42L),
     "q_sample_stratified" -> OracleSql.sampleStratified(
       Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), default = 0.1, salt = 42L),

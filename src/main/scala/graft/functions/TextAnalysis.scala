@@ -225,6 +225,46 @@ object TextAnalysis {
     res
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 — the filters
+    * that catch boilerplate and keyboard-mash the stopword/length quality
+    * score misses): per document,
+    *
+    *   dup_token_ratio = (n − distinct(tokens)) / n
+    *   top_bigram_frac = count(most frequent bigram) / (n − 1)
+    *
+    * Both are single divisions of exact integers (IEEE-identical in any
+    * engine — the DuckDB oracle needs no grid). Docs with < 1 (resp. < 2)
+    * tokens report 0.0. Returns (idCol, n_tokens, dup_token_ratio,
+    * top_bigram_frac).
+    *
+    * 100-TB shape: the distinct count is per-row column math
+    * (array_distinct — no shuffle at all); the bigram mode is one
+    * map-side-combinable (doc, a, b) count plus a per-doc max — both keyed
+    * on doc_id, so the two aggregations reuse one exchange. */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("ts"))
+      .select(col(idCol), col("ts"),
+        size(col("ts")).cast("long").as("n"),
+        size(array_distinct(col("ts"))).cast("long").as("nd"))
+      .persist()
+    val bigramTop = base.where(col("n") >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), (col("n") - 1).cast("int")),
+        i => struct(element_at(col("ts"), i).as("a"),
+          element_at(col("ts"), (i + 1).cast("int")).as("b")))).as("bg"))
+      .groupBy(col(idCol), col("bg.a"), col("bg.b")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("maxc"))
+    val res = base.join(bigramTop, Seq(idCol), "left")
+      .select(col(idCol), col("n").as("n_tokens"),
+        when(col("n") > 0, (col("n") - col("nd")).cast("double") / col("n"))
+          .otherwise(lit(0.0)).as("dup_token_ratio"),
+        when(col("n") >= 2, coalesce(col("maxc"), lit(0L)).cast("double") / (col("n") - 1))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+      .localCheckpoint(true)
+    base.unpersist()
+    res
+  }
+
   /** Rolling-hash document fingerprint: xxhash64 of every char-k-shingle,
     * keep the minimum (a 1-permutation MinHash — stable under small edits
     * far from the minimizing window), plus the exact content hash. */

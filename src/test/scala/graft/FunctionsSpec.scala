@@ -300,6 +300,22 @@ class FunctionsSpec extends AnyFunSuite with GraphFixtures {
     assert((top.getString(0), top.getString(1)) == (("x", "y")))
   }
 
+  test("repetitionStats: closed forms — all-same, all-distinct, boilerplate loop, empty") {
+    val d = docs(Seq(
+      (1L, "x x x x"),          // dup ratio 3/4; top bigram (x,x) 3/3
+      (2L, "a b c d"),          // dup 0; every bigram unique -> 1/3
+      (3L, "ab cd ab cd ab"),   // dup 3/5; bigrams: (ab,cd)x2 (cd,ab)x2 -> 2/4
+      (4L, ""),                 // 0 tokens -> zeros
+      (5L, "solo")))            // 1 token -> no bigrams
+    val got = TextAnalysis.repetitionStats(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 3.0 / 4, 1.0)))
+    assert(got(2L) == ((4L, 0.0, 1.0 / 3)))
+    assert(got(3L) == ((5L, 3.0 / 5, 2.0 / 4)))
+    assert(got(4L) == ((0L, 0.0, 0.0)))
+    assert(got(5L) == ((1L, 0.0, 0.0)))
+  }
+
   test("clusters: transitive chains merge through the middle; pair-free docs self-canonicalize") {
     val s = spark
     import s.implicits._
