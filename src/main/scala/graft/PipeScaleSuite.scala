@@ -133,6 +133,13 @@ object PipeScaleSuite {
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       }),
+      // round-6 text/sampling additions
+      "tfidf" -> (() => TextAnalysis.tfidfTopTerms(docs, topN = 5)),
+      "pmi_bigrams" -> (() => TextAnalysis.pmiBigrams(docs, minCount = 5, topN = 100)),
+      "repetition" -> (() => TextAnalysis.repetitionStats(docs)),
+      "sample_stratified" -> (() => graft.functions.Sampling.stratifiedSample(
+        docs, "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultFraction = 0.1)),
       "window_agg" -> (() => EventStream.windowedAgg(events, quantize = 1e6)),
       "sessionize" -> (() => EventStream.sessionizeBatch(events, gapMinutes = 30)),
       "window_agg_stream" -> (() =>
