@@ -709,6 +709,49 @@ object OracleSql {
     * only BIGINT-safe arithmetic, so DuckDB reproduces every survival draw
     * and successor pick exactly; visit counts are integers and the combine
     * phase runs grid-summed, so the final scores are bit-identical. */
+  /** One walk step CTE w{s} — the survival mix chain (sh/sh2/sh3) and pick
+    * mix (ph/ph2) shared by EVERY walk-family oracle (walkTrace, mcPpr and
+    * their weighted variants — previously four hand-kept copies; a missed
+    * edit in one would be a silent oracle/engine divergence). `weighted`
+    * switches the successor pick between round-robin modulo outdeg and the
+    * cumulative-weight interval — MonteCarloPpr.pickIdx's two arms. */
+  private def walkStepCte(st: Int, damping: Double, sSalt: Long, pSalt: Long,
+      weighted: Boolean): String = {
+    val p = 2147483647L
+    val dl = dlit(damping)
+    val adjCols = if (weighted) "a.dsts, a.cws, a.totw" else "a.dsts, a.outdeg"
+    val innerCols = if (weighted) "dsts, cws, totw" else "dsts, outdeg"
+    val pick1 =
+      if (weighted) "a.dsts[CAST(len(list_filter(a.cws, c -> c <= (s.walkId % a.totw))) + 1 AS INT)]"
+      else "a.dsts[CAST(s.walkId % a.outdeg AS INT) + 1]"
+    val pickN =
+      if (weighted)
+        s"dsts[CAST(len(list_filter(cws, c -> c <= ((walkId + (ph2*ph2 + ph2 + 67890) % $p) % totw))) + 1 AS INT)]"
+      else s"dsts[CAST((walkId + (ph2*ph2 + ph2 + 67890) % $p) % outdeg AS INT) + 1]"
+    if (st == 1)
+      s"""w1 AS MATERIALIZED (SELECT s.seed, s.walkId, $pick1 AS cur
+         | FROM w0 s JOIN adjl a ON s.cur = a.src)""".stripMargin
+    else
+      s"""w$st AS MATERIALIZED (
+         | SELECT seed, walkId, $pickN AS cur
+         | FROM (
+         |  SELECT seed, walkId, $innerCols, (ph*ph + ph + 12345) % $p AS ph2
+         |  FROM (
+         |   SELECT sv.seed, sv.walkId, $adjCols,
+         |          ((sv.seed % $p)*48271 + (sv.cur % $p)*16807 + ($st % $p)*69621 + $pSalt) % $p AS ph
+         |   FROM (
+         |    SELECT seed, walkId, cur FROM (
+         |     SELECT seed, walkId, cur, (sh2*sh2 + sh2 + 67890) % $p AS sh3
+         |     FROM (
+         |      SELECT seed, walkId, cur, (sh*sh + sh + 12345) % $p AS sh2
+         |      FROM (
+         |       SELECT seed, walkId, cur,
+         |              ((seed % $p)*48271 + (walkId % $p)*16807 + ($st % $p)*69621 + $sSalt) % $p AS sh
+         |       FROM w${st - 1})))
+         |    WHERE sh3 / CAST($p AS DOUBLE) <= $dl
+         |   ) sv JOIN adjl a ON sv.cur = a.src)))""".stripMargin
+  }
+
   /** Weighted adjacency lists with cumulative integer weights (the mirror
     * of MonteCarloPpr.buildAdj's weighted contract): dsts in dst order,
     * cws = prefix sums of w in the same order, totw = Σw. Requires an
@@ -719,39 +762,6 @@ object OracleSql {
        |   list(cw ORDER BY dst) AS cws, count(*) AS outdeg, CAST(max(cw) AS BIGINT) AS totw
        |  FROM (SELECT src, dst, CAST(sum(w) OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS cw FROM ew)
        |  GROUP BY src)""".stripMargin
-
-  /** One weighted walk step CTE w{s}: survival draw identical to the
-    * unweighted chain; the successor pick lands r = base % totw on the
-    * cumulative-weight interval containing it — the list_filter count is
-    * exactly MonteCarloPpr.pickIdx's size(filter(cws, c <= r)). */
-  private def weightedWalkStep(s: Int, damping: Double, sSalt: Long, pSalt: Long): String = {
-    val p = 2147483647L
-    val dl = dlit(damping)
-    if (s == 1)
-      s"""w1 AS MATERIALIZED (SELECT s.seed, s.walkId,
-         | a.dsts[CAST(len(list_filter(a.cws, c -> c <= (s.walkId % a.totw))) + 1 AS INT)] AS cur
-         | FROM w0 s JOIN adjl a ON s.cur = a.src)""".stripMargin
-    else
-      s"""w$s AS MATERIALIZED (
-         | SELECT seed, walkId,
-         |        dsts[CAST(len(list_filter(cws, c -> c <= ((walkId + (ph2*ph2 + ph2 + 67890) % $p) % totw))) + 1 AS INT)] AS cur
-         | FROM (
-         |  SELECT seed, walkId, dsts, cws, totw, (ph*ph + ph + 12345) % $p AS ph2
-         |  FROM (
-         |   SELECT sv.seed, sv.walkId, a.dsts, a.cws, a.totw,
-         |          ((sv.seed % $p)*48271 + (sv.cur % $p)*16807 + ($s % $p)*69621 + $pSalt) % $p AS ph
-         |   FROM (
-         |    SELECT seed, walkId, cur FROM (
-         |     SELECT seed, walkId, cur, (sh2*sh2 + sh2 + 67890) % $p AS sh3
-         |     FROM (
-         |      SELECT seed, walkId, cur, (sh*sh + sh + 12345) % $p AS sh2
-         |      FROM (
-         |       SELECT seed, walkId, cur,
-         |              ((seed % $p)*48271 + (walkId % $p)*16807 + ($s % $p)*69621 + $sSalt) % $p AS sh
-         |       FROM w${s - 1})))
-         |    WHERE sh3 / CAST($p AS DOUBLE) <= $dl
-         |   ) sv JOIN adjl a ON sv.cur = a.src)))""".stripMargin
-  }
 
   /** The lineitem-derived weighted edge CTE (SparkEntry.weightedEdges). */
   private[graft] def lineitemEwCte: String =
@@ -772,7 +782,8 @@ object OracleSql {
       salt: Long, ewCte: String): String = {
     val sSalt = salt * 7919L + 1234567L
     val pSalt = salt * 7919L + 7654321L
-    val steps = (1 to maxSteps).map(weightedWalkStep(_, damping, sSalt, pSalt)).mkString(",\n")
+    val steps = (1 to maxSteps)
+      .map(walkStepCte(_, damping, sSalt, pSalt, weighted = true)).mkString(",\n")
     val unions = (1 to maxSteps)
       .map(s => s"SELECT seed, walkId AS walk_id, $s AS step, cur AS node FROM w$s")
       .mkString("\n  UNION ALL ")
@@ -795,7 +806,8 @@ object OracleSql {
     val pSalt = salt * 7919L + 7654321L
     val effective = math.floor(r * damping).toLong
     val dl = dlit(damping)
-    val steps = (1 to maxSteps).map(weightedWalkStep(_, damping, sSalt, pSalt)).mkString(",\n")
+    val steps = (1 to maxSteps)
+      .map(walkStepCte(_, damping, sSalt, pSalt, weighted = true)).mkString(",\n")
     val visitUnion = (1 to maxSteps)
       .map(s => s"SELECT seed, cur AS node FROM w$s").mkString("\n   UNION ALL ")
     s"""WITH $lineitemEwCte,
@@ -830,35 +842,10 @@ object OracleSql {
     * per-step survival+pick recursion as [[mcPpr]], emitting every
     * (seed, walk_id, step, node) position instead of visit counts. */
   def walkTrace(walksPerNode: Int, maxSteps: Int, damping: Double, salt: Long): String = {
-    val p = 2147483647L
     val sSalt = salt * 7919L + 1234567L
     val pSalt = salt * 7919L + 7654321L
-    val dl = dlit(damping)
-    def step(s: Int): String =
-      if (s == 1)
-        s"""w1 AS MATERIALIZED (SELECT s.seed, s.walkId, a.dsts[CAST(s.walkId % a.outdeg AS INT) + 1] AS cur
-           | FROM w0 s JOIN adjl a ON s.cur = a.src)""".stripMargin
-      else
-        s"""w$s AS MATERIALIZED (
-           | SELECT seed, walkId,
-           |        dsts[CAST((walkId + (ph2*ph2 + ph2 + 67890) % $p) % outdeg AS INT) + 1] AS cur
-           | FROM (
-           |  SELECT seed, walkId, dsts, outdeg, (ph*ph + ph + 12345) % $p AS ph2
-           |  FROM (
-           |   SELECT sv.seed, sv.walkId, a.dsts, a.outdeg,
-           |          ((sv.seed % $p)*48271 + (sv.cur % $p)*16807 + ($s % $p)*69621 + $pSalt) % $p AS ph
-           |   FROM (
-           |    SELECT seed, walkId, cur FROM (
-           |     SELECT seed, walkId, cur, (sh2*sh2 + sh2 + 67890) % $p AS sh3
-           |     FROM (
-           |      SELECT seed, walkId, cur, (sh*sh + sh + 12345) % $p AS sh2
-           |      FROM (
-           |       SELECT seed, walkId, cur,
-           |              ((seed % $p)*48271 + (walkId % $p)*16807 + ($s % $p)*69621 + $sSalt) % $p AS sh
-           |       FROM w${s - 1})))
-           |    WHERE sh3 / CAST($p AS DOUBLE) <= $dl
-           |   ) sv JOIN adjl a ON sv.cur = a.src)))""".stripMargin
-    val steps = (1 to maxSteps).map(step).mkString(",\n")
+    val steps = (1 to maxSteps)
+      .map(walkStepCte(_, damping, sSalt, pSalt, weighted = false)).mkString(",\n")
     val unions = (1 to maxSteps)
       .map(s => s"SELECT seed, walkId AS walk_id, $s AS step, cur AS node FROM w$s")
       .mkString("\n  UNION ALL ")
@@ -874,36 +861,12 @@ object OracleSql {
   }
 
   def mcPpr(k: Int, l: Int, r: Int, damping: Double, salt: Long, maxSteps: Int): String = {
-    val p = 2147483647L
     val sSalt = salt * 7919L + 1234567L // survivalSalt(salt)
     val pSalt = salt * 7919L + 7654321L         // pickSalt(salt)
     val effective = math.floor(r * damping).toLong
     val dl = dlit(damping)
-    def step(s: Int): String =
-      if (s == 1)
-        s"""w1 AS MATERIALIZED (SELECT s.seed, s.walkId, a.dsts[CAST(s.walkId % a.outdeg AS INT) + 1] AS cur
-           | FROM w0 s JOIN adjl a ON s.cur = a.src)""".stripMargin
-      else
-        s"""w$s AS MATERIALIZED (
-           | SELECT seed, walkId,
-           |        dsts[CAST((walkId + (ph2*ph2 + ph2 + 67890) % $p) % outdeg AS INT) + 1] AS cur
-           | FROM (
-           |  SELECT seed, walkId, dsts, outdeg, (ph*ph + ph + 12345) % $p AS ph2
-           |  FROM (
-           |   SELECT sv.seed, sv.walkId, a.dsts, a.outdeg,
-           |          ((sv.seed % $p)*48271 + (sv.cur % $p)*16807 + ($s % $p)*69621 + $pSalt) % $p AS ph
-           |   FROM (
-           |    SELECT seed, walkId, cur FROM (
-           |     SELECT seed, walkId, cur, (sh2*sh2 + sh2 + 67890) % $p AS sh3
-           |     FROM (
-           |      SELECT seed, walkId, cur, (sh*sh + sh + 12345) % $p AS sh2
-           |      FROM (
-           |       SELECT seed, walkId, cur,
-           |              ((seed % $p)*48271 + (walkId % $p)*16807 + ($s % $p)*69621 + $sSalt) % $p AS sh
-           |       FROM w${s - 1})))
-           |    WHERE sh3 / CAST($p AS DOUBLE) <= $dl
-           |   ) sv JOIN adjl a ON sv.cur = a.src)))""".stripMargin
-    val steps = (1 to maxSteps).map(step).mkString(",\n")
+    val steps = (1 to maxSteps)
+      .map(walkStepCte(_, damping, sSalt, pSalt, weighted = false)).mkString(",\n")
     val visitUnion = (1 to maxSteps)
       .map(s => s"SELECT seed, cur AS node FROM w$s").mkString("\n   UNION ALL ")
     s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),

@@ -25,8 +25,9 @@ import graft.streaming.EventStream
   *
   * Env knobs: SPARK_GRAFT_CPUS, SPARK_GRAFT_PIPE_DOCS (base doc count,
   * default 5000), SPARK_GRAFT_PIPE_FACTOR (default 4),
-  * SPARK_GRAFT_PIPE_SKIP (comma-separated section names to skip:
-  * suite,anngrid,stategrowth).
+  * SPARK_GRAFT_PIPE_SKIP (comma-separated sections to skip:
+  * suite,anngrid,hllsweep,stategrowth), SPARK_GRAFT_PIPE_ONLY
+  * (comma-separated suite query names to run, default all).
   */
 object PipeScaleSuite {
 
@@ -85,7 +86,10 @@ object PipeScaleSuite {
     val nDocs = baseDocs * f
     val nVecs = 2000L * (baseDocs / 5000.0).toLong.max(1L) * f
     val nEvents = 100000L * f
-    val dir = s"/tmp/graft-pipe-$nDocs"
+    // cache key carries ALL table sizes + a generator version tag: a dir
+    // keyed on nDocs alone silently served wrong-size embeddings/events
+    // when base/factor combinations collided on the same doc count
+    val dir = s"/tmp/graft-pipe-g2-$nDocs-$nVecs-$nEvents"
     if (!new java.io.File(s"$dir/_READY").exists()) {
       Synth.documents(spark, nDocs).write.mode("overwrite").parquet(s"$dir/documents")
       Synth.embeddings(spark, nVecs).write.mode("overwrite").parquet(s"$dir/embeddings")

@@ -59,11 +59,16 @@ object SparkEntry {
     * localCheckpointed, so reuse reads materialized blocks. */
   private val sccMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def sccShared(s: SparkSession, dir: String): DataFrame =
+  private def sccShared(s: SparkSession, dir: String): DataFrame = {
+    // entries from OTHER sessions are dead weight (a stopped session's
+    // checkpoint blocks can never be read again) — evict them so a
+    // long-lived JVM cycling sessions doesn't pin them forever
+    sccMemo.keySet.removeIf(k => k._1 ne s)
     sccMemo.computeIfAbsent((s, dir), _ => {
       val (e, v) = sccGraph(s, dir)
       Scc.scc(e, v).localCheckpoint(true)
     })
+  }
 
   /** Weighted edge table: weight = summed integer l_quantity per pair
     * (stand-in for anchor-text / link-frequency weights on a web graph) —

@@ -36,7 +36,9 @@ object Sampling {
 
   /** Per-stratum fractions (e.g. source → rate): rows in a stratum absent
     * from `fractions` keep at `defaultFraction`. The fractions ride a
-    * broadcast join, so the filter stays shuffle-free on the corpus side. */
+    * broadcast join, so the filter stays shuffle-free on the corpus side.
+    * Join helper columns are namespaced (`__graft_*`) so a corpus that
+    * already carries `stratum`/`fraction` columns passes through intact. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       fractions: Map[String, Double], defaultFraction: Double = 0.0,
       salt: Long = 42L): DataFrame = {
@@ -44,10 +46,10 @@ object Sampling {
       "fractions must be in [0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
-    val fr = fractions.toSeq.toDF("stratum", "fraction")
-    df.join(broadcast(fr), df(strataCol) === col("stratum"), "left")
-      .where(keep(col(idCol), coalesce(col("fraction"), lit(defaultFraction)), salt))
-      .drop("stratum", "fraction")
+    val fr = fractions.toSeq.toDF("__graft_stratum", "__graft_fraction")
+    df.join(broadcast(fr), df(strataCol) === col("__graft_stratum"), "left")
+      .where(keep(df(idCol), coalesce(col("__graft_fraction"), lit(defaultFraction)), salt))
+      .drop("__graft_stratum", "__graft_fraction")
   }
 
   /** The shared predicate: mix31(id, 0, 2, salt) < fraction · P, with the

@@ -94,22 +94,29 @@ object MonteCarloPpr {
     * node2vec-on-the-host-graph corpus case: Coarsen.project output is a
     * drop-in input). Non-positive weights drop; duplicate (src,dst) rows
     * sum their weights. */
+  /** Positive-weight (src, dst, w) aggregation — computed ONCE per run and
+    * shared by the adjacency build and the weighted combine factor. */
+  private[graft] def weightedEw(edges: DataFrame): DataFrame =
+    edges.where(col("weight") > 0)
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).cast("long").as("w"))
+
+  private def buildWeightedAdj(ew: DataFrame): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    ew.withColumn("cw", sum(col("w")).over(win))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("dst"), col("cw")))).as("pairs"))
+      .select(col("src"),
+        transform(col("pairs"), p => p.getField("dst")).as("dsts"),
+        transform(col("pairs"), p => p.getField("cw")).as("cws"),
+        size(col("pairs")).as("outdeg"))
+      .withColumn("totw", element_at(col("cws"), -1))
+  }
+
   private[graft] def buildAdj(edges: DataFrame, weighted: Boolean, dedup: Boolean): DataFrame =
-    if (weighted) {
-      val ew = edges.where(col("weight") > 0)
-        .groupBy(col("src"), col("dst"))
-        .agg(sum(col("weight")).cast("long").as("w"))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src")).orderBy(col("dst"))
-      ew.withColumn("cw", sum(col("w")).over(win))
-        .groupBy(col("src"))
-        .agg(sort_array(collect_list(struct(col("dst"), col("cw")))).as("pairs"))
-        .select(col("src"),
-          transform(col("pairs"), p => p.getField("dst")).as("dsts"),
-          transform(col("pairs"), p => p.getField("cw")).as("cws"),
-          size(col("pairs")).as("outdeg"))
-        .withColumn("totw", element_at(col("cws"), -1))
-    } else {
+    if (weighted) buildWeightedAdj(weightedEw(edges))
+    else {
       val e = if (dedup) edges.dropDuplicates("src", "dst") else edges
       e.groupBy(col("src"))
         .agg(sort_array(collect_list(col("dst"))).as("dsts"))
@@ -245,7 +252,11 @@ object MonteCarloPpr {
     // cost at small scale); above it, the adjacency is hash-partitioned by
     // src once and reused every step.
     val weighted = edges.columns.contains("weight")
-    val adjBase = buildAdj(edges, weighted, dedup = false)
+    // the weighted (src,dst,w) aggregation is shared by the adjacency AND
+    // the combine-phase edge factor — persisted so it runs once, not twice
+    val ewOpt = if (weighted) Some(weightedEw(edges).persist()) else None
+    val adjBase = ewOpt.map(buildWeightedAdj)
+      .getOrElse(buildAdj(edges, weighted = false, dedup = false))
     val smallAdj = edges.count() <= broadcastEdgeLimit
     val adjPersisted =
       (if (smallAdj) adjBase else adjBase.repartition(shufflePartitions, col("src"))).persist()
@@ -285,7 +296,7 @@ object MonteCarloPpr {
       val visitAgg = localWalk(walkOrigins, adjPersisted, effective, d, salt, maxSteps, weighted)
       walkOrigins.unpersist()
       return finishFromVisits(edges, vertices, adjList, adjPersisted, cfg, visitAgg,
-        McWalkStats(0L, 0, nOrigins, nOrigins * effective), weighted)
+        McWalkStats(0L, 0, nOrigins, nOrigins * effective), ewOpt)
     }
 
     def oneStep(cur: DataFrame, step: Int): DataFrame = {
@@ -371,8 +382,11 @@ object MonteCarloPpr {
       chunkLo = chunkHi
       if (checkpointEvery > 0 && checkpoint.isDefined && nChunks % checkpointEvery == 0) {
         // fold the partials into ONE frame (also bounds the final union
-        // fan-in on long runs), snapshot it as chunk `nChunks`
+        // fan-in on long runs), snapshot it as chunk `nChunks`. Nil happens
+        // on a walk-free graph (empty adjacency): nothing to snapshot — a
+        // resume then correctly restarts from chunk 0, whose work is nil
         val merged = chunkAggs match {
+          case Nil        => null
           case one :: Nil => one
           case many =>
             val m = many.reduce(_ union _)
@@ -381,11 +395,13 @@ object MonteCarloPpr {
             many.foreach(IterativeEngine.freeCheckpointBlocks)
             m
         }
-        chunkAggs = List(merged)
-        val met = IterMetrics(nChunks, Double.NaN, merged.count(),
-          (System.nanoTime() - tChunk) / 1000000)
-        ckptHistory :+= met
-        checkpoint.get.save(merged, nChunks, met, ckptHistory)
+        if (merged != null) {
+          chunkAggs = List(merged)
+          val met = IterMetrics(nChunks, Double.NaN, merged.count(),
+            (System.nanoTime() - tChunk) / 1000000)
+          ckptHistory :+= met
+          checkpoint.get.save(merged, nChunks, met, ckptHistory)
+        }
       }
     }
     walkOrigins.unpersist()
@@ -397,7 +413,7 @@ object MonteCarloPpr {
       case many       => many.reduce(_ union _)
     }
     finishFromVisits(edges, vertices, adjList, adjPersisted, cfg, visitAgg,
-      McWalkStats(maxInFlight, nChunks, nOrigins, nOrigins * effective), weighted)
+      McWalkStats(maxInFlight, nChunks, nOrigins, nOrigins * effective), ewOpt)
   }
 
   /** The whole walk phase as ONE mapPartitions pass over the origins
@@ -484,7 +500,7 @@ object MonteCarloPpr {
   private def finishFromVisits(edges: DataFrame, vertices: DataFrame,
       adjList: DataFrame, adjPersisted: DataFrame, cfg: PprConfig,
       visitAgg: DataFrame, stats: McWalkStats,
-      weighted: Boolean = false): (DataFrame, McWalkStats) = {
+      ewOpt: Option[DataFrame] = None): (DataFrame, McWalkStats) = {
     val r = cfg.iterations
     val d = cfg.damping
     val selfVisits = vertices.select(col("id").as("seed"), col("id").as("node"),
@@ -503,10 +519,8 @@ object MonteCarloPpr {
     if (visitAgg != null) IterativeEngine.freeCheckpointBlocks(visitAgg)
 
     // ---- phase 2: one gather superstep over walk baskets (:211-250) -----
-    val combined = if (weighted) {
-      val ew = edges.where(col("weight") > 0)
-        .groupBy(col("src"), col("dst"))
-        .agg(sum(col("weight")).cast("long").as("w"))
+    val combined = if (ewOpt.isDefined) {
+      val ew = ewOpt.get // the run-wide persisted (src,dst,w) aggregation
       val ws = ew.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
       val edgeFactor = ew.join(ws, "src")
         .select(col("src"), col("dst"), (lit(d) * col("w") / col("wsum")).as("efactor"))
@@ -533,6 +547,7 @@ object MonteCarloPpr {
     val result = TopK.topKWindow(combined, cfg.K).localCheckpoint(true)
     IterativeEngine.freeCheckpointBlocks(walkBaskets) // result materialized
     adjPersisted.unpersist()
+    ewOpt.foreach(_.unpersist())
     (result, stats)
   }
 }

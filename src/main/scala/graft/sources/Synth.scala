@@ -37,7 +37,9 @@ object Synth {
     val head = array(headWords.map(lit): _*)
     val len = (pmod(xxhash64(col("doc_id"), lit(seed), lit(1)), lit(80L)) + 40).cast("int")
     val word = (i: Column) => {
-      val rank = (floor(pow(lit(vocab.toDouble), u(col("doc_id"), i, lit(seed), lit(2)))) + 1).cast("long")
+      // u in (0,1] -> V^u in (1, V] -> floor in [1, V]: rank 1 ("the", the
+      // Zipf head) is reachable and nothing escapes the vocabulary
+      val rank = floor(pow(lit(vocab.toDouble), u(col("doc_id"), i, lit(seed), lit(2)))).cast("long")
       when(rank <= headWords.size, element_at(head, rank.cast("int")))
         .otherwise(concat(lit("w"), rank))
     }
