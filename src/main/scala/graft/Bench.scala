@@ -44,7 +44,8 @@ object Bench {
     "q_unigram_logprob",
     // round-6 additions
     "q_mc_ppr_weighted", "q_walk_trace_weighted", "q_host_walk_corpus",
-    "q_tfidf", "q_sample_stratified", "q_pmi_bigrams", "q_repetition")
+    "q_tfidf", "q_sample_stratified", "q_pmi_bigrams", "q_repetition",
+    "q_window_distinct")
 
   private def session(cores: Int, shufflePartitions: Int): SparkSession = {
     new java.io.File("/dev/shm/graft-spark").mkdirs()

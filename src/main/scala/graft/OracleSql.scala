@@ -401,6 +401,35 @@ object OracleSql {
     * 2^32 per empty bucket), one floating division, published small-range
     * linear-counting branch, 1e-6 output grid. Mirrors Sketch.hllEstimate's
     * operation order token for token. */
+  /** Per-hour distinct users: exact count(DISTINCT) next to the keyed HLL
+    * estimate (Sketch.approxDistinctBy) — the sketch × windowing
+    * composition, replayed per group with the same integer register math
+    * as [[hllEstimate]]. */
+  def windowDistinct(p: Int, salt: Long): String = {
+    val m = 1 << p
+    val alpha = graft.functions.Sketch.alphaFor(m)
+    val mix = graft.kernels.Mix.sql("v", "0", "1", salt)
+    s"""WITH vals AS MATERIALIZED (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k,
+       |   user_id AS v FROM events),
+       | hx AS MATERIALIZED (SELECT k, ($mix) AS h FROM vals),
+       | rr AS (SELECT k, CAST(h % $m AS INT) AS bucket,
+       |   CAST(${31 - p + 1} - length(ltrim(bin(h >> $p), '0')) AS INT) AS rho FROM hx),
+       | reg AS MATERIALIZED (SELECT k, bucket, max(rho) AS rho FROM rr GROUP BY 1, 2),
+       | s AS (SELECT k, count(*) AS filled,
+       |   CAST(sum(CAST(power(2, 32 - rho) AS BIGINT)) AS BIGINT) AS sumnon FROM reg GROUP BY 1),
+       | t AS (SELECT k, filled, $m - filled AS zeros,
+       |   sumnon + ($m - filled) * 4294967296 AS sumint FROM s),
+       | u AS (SELECT k, filled, zeros,
+       |   ${dlit(alpha)} * ${dlit(m.toDouble)} * ${dlit(m.toDouble)} * 4294967296.0 / sumint AS raw
+       |   FROM t),
+       | est AS (SELECT k, round((CASE WHEN raw <= ${dlit(2.5 * m)} AND zeros > 0
+       |    THEN ${dlit(m.toDouble)} * ln(${dlit(m.toDouble)} / zeros) ELSE raw END) * 1e6) / 1e6 AS est,
+       |   filled FROM u),
+       | ex AS (SELECT k, count(DISTINCT v) AS n_exact FROM vals GROUP BY 1)
+       |SELECT ex.k AS window_epoch, ex.n_exact, est.est, est.filled
+       |FROM ex JOIN est ON ex.k = est.k""".stripMargin
+  }
+
   def hllEstimate(p: Int, salt: Long): String = {
     val m = 1 << p
     val alpha = graft.functions.Sketch.alphaFor(m)

@@ -432,6 +432,18 @@ object SparkEntry {
       val vals = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       Sketch.approxDistinct(vals, "v", p = 8, salt = 42L)
     }),
+    // per-hour distinct users, exact NEXT TO the keyed HLL estimate (r6):
+    // the sketch x windowing composition — count(DISTINCT) per group is
+    // what the sketch replaces at 10^12 rows, and the row publishes both
+    "q_window_distinct" -> ((s, dir) => {
+      val vals = t(s, dir, "events")
+        .select(unix_timestamp(date_trunc("hour", col("ts"))).as("window_epoch"),
+          col("user_id").as("v"))
+      val exact = vals.groupBy(col("window_epoch"))
+        .agg(countDistinct(col("v")).as("n_exact"))
+      exact.join(Sketch.approxDistinctBy(vals, "v", Seq("window_epoch"), p = 8, salt = 42L),
+        Seq("window_epoch"))
+    }),
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))),
@@ -687,6 +699,7 @@ object SparkEntry {
     "q_neighborhood_function" -> OracleSql.neighborhoodFunction(rounds = 4, p = 6, salt = 42L),
     "q_hll_registers" -> OracleSql.hllRegisters(p = 8, salt = 42L),
     "q_hll_estimate" -> OracleSql.hllEstimate(p = 8, salt = 42L),
+    "q_window_distinct" -> OracleSql.windowDistinct(p = 8, salt = 42L),
     "q_token_count" ->
       "SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens FROM documents",
     "q_subword_count" ->

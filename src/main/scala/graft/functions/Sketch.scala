@@ -54,6 +54,28 @@ object Sketch {
   def mergeRegisters(parts: DataFrame*): DataFrame =
     parts.reduce(_ union _).groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
 
+  /** KEYED register table (keys..., bucket, rho) — one sketch per group
+    * (e.g. per time window, per host). Same map-side-combinable max shape;
+    * the shuffle carries ≤ 2^p rows per (group, map partition). */
+  def hllRegistersBy(values: DataFrame, valueCol: String, keys: Seq[String],
+      p: Int = 8, salt: Long = 42L): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    val h = Mix.mix31(col(valueCol), lit(0L), lit(1L), salt)
+    val w = shiftright(h.cast("long"), p)
+    val rho = lit(31 - p + 1) - length(ltrim(bin(w), "0"))
+    values.select(keys.map(col) ++ Seq(pmod(h, lit(m.toLong)).cast("int").as("bucket"),
+        rho.cast("int").as("rho")): _*)
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Per-group estimate (keys..., est, filled): the windowed/keyed distinct
+    * count — what replaces count(DISTINCT) per group at 10^12 rows. */
+  def approxDistinctBy(values: DataFrame, valueCol: String, keys: Seq[String],
+      p: Int = 8, salt: Long = 42L): DataFrame =
+    estimateFrom(hllRegistersBy(values, valueCol, keys, p, salt), p, keys)
+
   private[graft] def alphaFor(m: Int): Double =
     if (m >= 128) 0.7213 / (1 + 1.079 / m)
     else if (m == 64) 0.709

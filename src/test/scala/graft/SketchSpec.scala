@@ -60,6 +60,21 @@ class SketchSpec extends AnyFunSuite with GraphFixtures {
     assert(e1 == e13) // exact-integer harmonic sum: bit-equal, not just close
   }
 
+  test("hll keyed: each group's sketch equals the unkeyed sketch of that group's subset") {
+    val s = spark
+    import s.implicits._
+    // 3 groups with overlapping value ranges and different cardinalities
+    val rows = (0L until 3000L).map(v => (v % 3, v / 3)) // (key, value)
+    val df = rows.toDF("k", "v")
+    val keyed = Sketch.approxDistinctBy(df, "v", Seq("k"), p = 8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    for (k <- 0L until 3L) {
+      val subset = longs(rows.filter(_._1 == k).map(_._2))
+      val solo = Sketch.approxDistinct(subset, "v", p = 8).head()
+      assert(keyed(k) == ((solo.getDouble(0), solo.getLong(1))), s"group $k")
+    }
+  }
+
   // ---- HyperBall (operators/HyperBall: HLL x iterative engine) ----------
   /** local forward-reachability closure (BFS) */
   private def reach(edges: Seq[(Long, Long)], from: Long): Set[Long] = {
