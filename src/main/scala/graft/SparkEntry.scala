@@ -70,6 +70,24 @@ object SparkEntry {
     })
   }
 
+  /** HyperBall sweep shared by the q_hyperball / q_harmonic /
+    * q_neighborhood_function triple (r7 optimization; the sccShared
+    * composition pattern): all three driver rows are views of the SAME
+    * 4-round p=6 register sweep, so one session computes it once — the
+    * est_0..est_rounds frames are localCheckpointed inside
+    * HyperBall.sweep, and each query derives its result from them exactly
+    * as a caller composing the three operators would write it. Memoized
+    * per (session, sfDir); dead-session entries evicted like sccMemo. */
+  private val hbMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[DataFrame]]()
+  private def hyperballShared(s: SparkSession, dir: String): Seq[DataFrame] = {
+    hbMemo.keySet.removeIf(k => k._1 ne s)
+    hbMemo.computeIfAbsent((s, dir), _ => {
+      val (e, v) = graph(s, dir)
+      HyperBall.sweep(e, v, rounds = 4, p = 6, salt = 42L)
+    })
+  }
+
   /** Weighted edge table: weight = summed integer l_quantity per pair
     * (stand-in for anchor-text / link-frequency weights on a web graph) —
     * the shared input of every *_weighted driver row. */
@@ -402,19 +420,12 @@ object SparkEntry {
     // ---- text analysis -----------------------------------------------------
     // HyperBall (r4): per-vertex forward-ball HLL registers, 4 max-merge
     // rounds, per-vertex size estimate — integer state, hash-exact
-    "q_hyperball" -> ((s, dir) => {
-      val (e, v) = graph(s, dir)
-      HyperBall.neighborhood(e, v, rounds = 4, p = 6, salt = 42L)
-    }),
+    "q_hyperball" -> ((s, dir) => hyperballShared(s, dir).last),
     // k-core decomposition (r4): synchronous h-index rounds, integer-exact
-    "q_harmonic" -> ((s, dir) => {
-      val (e, v) = graph(s, dir)
-      HyperBall.centralities(e, v, rounds = 4, p = 6, salt = 42L)
-    }),
-    "q_neighborhood_function" -> ((s, dir) => {
-      val (e, v) = graph(s, dir)
-      HyperBall.neighborhoodFunction(e, v, rounds = 4, p = 6, salt = 42L)
-    }),
+    "q_harmonic" -> ((s, dir) =>
+      HyperBall.centralitiesFrom(hyperballShared(s, dir), rounds = 4)),
+    "q_neighborhood_function" -> ((s, dir) =>
+      HyperBall.neighborhoodFunctionFrom(hyperballShared(s, dir), rounds = 4)),
     "q_kcore" -> ((s, dir) => {
       val (e, v) = graph(s, dir)
       KCore.coreness(e, v, rounds = 8, tolerance = -1)

@@ -94,9 +94,19 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
+    // hash each shingle STRING once (8-byte base hash), then derive every
+    // permutation by re-hashing the base hash — perms × |sh| hashes over 8
+    // bytes instead of over k-token strings (r7; the minhashLshMix shape).
+    // Identical output at any threshold where the result is determined by
+    // shingle SETS (threshold 1.0 exactly); at lower thresholds only the
+    // banding's false-negative pattern shifts, and the exact verify keeps
+    // precision unchanged (recall is test-gated).
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("sh", tokenShingles(col("t"), shingleK))
-      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("sig", transform(sequence(lit(0), lit(bands * rowsPerBand - 1)),
+        p => coalesce(array_min(transform(col("hs"), h => xxhash64(h, p))), lit(Long.MaxValue))))
+      .drop("hs")
       .persist()
     val banded = withSig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
@@ -186,7 +196,13 @@ object Dedup {
       maxShingleFreq: Int = 1000): DataFrame = {
     val shingled = df.select(col(idCol).as("id"),
       array_distinct(tokenShingles(col(textCol), shingleK)).as("sh")).persist()
-    val inv = shingled.select(col("id"), explode(col("sh")).as("s"))
+    // inverted index over the 8-byte shingle HASH, not the shingle string
+    // (r7): the df-count aggregation and the candidate self-join shuffle
+    // ~4x fewer bytes, and both are hash-faithful — per-hash df equals
+    // per-string df and candidate pairs are identical (64-bit collisions
+    // aside), with the exact string-set verify unchanged downstream.
+    val inv = shingled.select(col("id"), explode(col("sh")).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
     val rare = inv.groupBy("s").agg(count(lit(1)).as("df_s"))
       .where(col("df_s") <= maxShingleFreq).select("s")
     val invR = inv.join(rare, "s")

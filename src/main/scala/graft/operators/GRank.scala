@@ -59,7 +59,10 @@ object GRank {
   def run(edges: DataFrame, vertices: DataFrame, cfg: PprConfig): DataFrame =
     runWithMetrics(edges, vertices, cfg).state
 
-  def runWithMetrics(edges: DataFrame, vertices: DataFrame, cfg: PprConfig): IterativeEngine.Result = {
+  def runWithMetrics(edges: DataFrame, vertices: DataFrame, cfg: PprConfig): IterativeEngine.Result =
+    graft.kernels.IterTuning.forLoop(edges.sparkSession) { runInner(edges, vertices, cfg) }
+
+  private def runInner(edges: DataFrame, vertices: DataFrame, cfg: PprConfig): IterativeEngine.Result = {
     val spark = edges.sparkSession
     import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -161,7 +164,14 @@ object GRank {
                 sequence(lit(0), lit(cfg.saltBuckets - 1)))
                 .otherwise(array(lit(0)))).as("salt"))
         else state.withColumn("salt", lit(0))
-      st.join(adjacency, st("seed") === adjacency("dst") && st("salt") === adjacency("salt"))
+      // SHUFFLE_HASH: the state side is hash(seed)-partitioned (aligned
+      // prune output, preserved through localCheckpoint) and the adjacency
+      // is hash(dst[,salt])-partitioned once — the hinted shuffled-hash
+      // join recognizes both and inserts NO exchange, where the planner's
+      // auto-broadcast re-serialized the |E|-row adjacency every superstep
+      // (and the adjacency is the side that can never broadcast at 100 TB).
+      st.hint("shuffle_hash")
+        .join(adjacency, st("seed") === adjacency("dst") && st("salt") === adjacency("salt"))
         .select(col("src").as("seed"), col("node"),
           (col("score") * col("factor")).as("score"))
     }

@@ -35,10 +35,27 @@ object Hits {
     * engine's L1 tolerance across both vectors; tolerance < 0 forces all
     * rounds — the oracle-replay mode). */
   def run(edges: DataFrame, vertices: DataFrame, iterations: Int,
-      tolerance: Double = 1e-8, quantize: Double = 0.0): DataFrame = {
+      tolerance: Double = 1e-8, quantize: Double = 0.0): DataFrame =
+    graft.kernels.IterTuning.forLoop(edges.sparkSession) {
+      runInner(edges, vertices, iterations, tolerance, quantize)
+    }
+
+  private def runInner(edges: DataFrame, vertices: DataFrame, iterations: Int,
+      tolerance: Double, quantize: Double): DataFrame = {
     require(iterations > 0, "iterations must be > 0")
-    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .dropDuplicates("src", "dst").persist()
+    val shufflePartitions = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    // loop-invariant edge sides pre-partitioned on their gather keys ONCE
+    // (guide §2.4): the auth gather joins on src, the hub gather on dst —
+    // two cached copies, so neither gather re-exchanges (or re-broadcasts)
+    // the |E|-row side on any of the 2·iterations joins; only the |V|-row
+    // vector side moves. The SHUFFLE_HASH hints below keep the planner
+    // from auto-broadcasting the edge side (the side that cannot
+    // broadcast at 100 TB).
+    val eDedup = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .dropDuplicates("src", "dst")
+    val eFwd = eDedup.repartition(shufflePartitions, col("src")).persist()
+    val eBwd = eDedup.repartition(shufflePartitions, col("dst")).persist()
     val n = vertices.count()
     require(n > 0, "empty vertex set")
 
@@ -74,13 +91,13 @@ object Hits {
       // contribution rounding to 0 on the quantize grid) would make raw/s
       // NaN and poison all remaining iterations — normalize by 1 instead,
       // which keeps the (all-zero) vector exact (ADVICE r5)
-      val araw = hub.join(e, hub("node") === e("src"))
+      val araw = hub.hint("shuffle_hash").join(eFwd, hub("node") === eFwd("src"))
         .groupBy(col("dst").as("node")).agg(gsum(col("score")).as("raw"))
         .localCheckpoint(true)
       val sA0 = araw.agg(gsum(col("raw")).as("s")).head().getDouble(0)
       val sA = if (sA0 == 0.0) 1.0 else sA0
       val auth = araw.select(col("node"), grid(col("raw") / lit(sA)).as("score"))
-      val hraw = auth.join(e, auth("node") === e("dst"))
+      val hraw = auth.hint("shuffle_hash").join(eBwd, auth("node") === eBwd("dst"))
         .groupBy(col("src").as("node")).agg(gsum(col("score")).as("raw"))
         .localCheckpoint(true)
       val sH0 = hraw.agg(gsum(col("raw")).as("s")).head().getDouble(0)
@@ -93,7 +110,7 @@ object Hits {
 
     val res = IterativeEngine.run(init, superstep, iterations, tolerance)
     staleBlocks.foreach(IterativeEngine.freeCheckpointBlocks)
-    e.unpersist()
+    eFwd.unpersist(); eBwd.unpersist()
     val sparse = res.state.groupBy(col("node"))
       .agg(min(when(col("seed") === 0, col("score"))).as("a0"),
         min(when(col("seed") === 1, col("score"))).as("h0"))

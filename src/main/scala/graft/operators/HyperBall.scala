@@ -79,6 +79,52 @@ object HyperBall {
       p: Int = 6, salt: Long = 42L): DataFrame =
     estimates(registers(edges, vertices, rounds, p, salt), p)
 
+  /** ONE register sweep shared by the whole HyperBall family (r7
+    * optimization, the scc+bowtie composition pattern): the per-round
+    * estimate frames est_0..est_rounds as (id, est, filled), each
+    * localCheckpointed. `sweep(...).last` equals [[neighborhood]] (the
+    * register fixpoint is reached at or before `rounds`, so running the
+    * loop without the engine's early-stop probe yields the same registers
+    * and hence the same estimates — test-gated), and
+    * [[centralitiesFrom]] / [[neighborhoodFunctionFrom]] consume the same
+    * frames — a caller wanting all three artifacts pays for one sweep
+    * instead of three. */
+  def sweep(edges: DataFrame, vertices: DataFrame, rounds: Int,
+      p: Int = 6, salt: Long = 42L): Seq[DataFrame] =
+    graft.kernels.IterTuning.forLoop(edges.sparkSession) {
+      estimatesPerRound(edges, vertices, rounds, p, salt)
+    }
+
+  /** [[centralities]] over a precomputed [[sweep]] (est_0..est_rounds). */
+  def centralitiesFrom(ests: Seq[DataFrame], rounds: Int): DataFrame = {
+    require(ests.length == rounds + 1, s"sweep must carry ${rounds + 1} frames")
+    val joined = ests.zipWithIndex
+      .map { case (df, t) => df.select(col("id"), col("est").as(s"est_$t")) }
+      .reduce(_.join(_, Seq("id")))
+    val harmonic = (1 to rounds)
+      .map(t => (col(s"est_$t") - col(s"est_${t - 1}")) / lit(t.toDouble))
+      .reduce(_ + _)
+    val sumDist = (1 to rounds)
+      .map(t => (col(s"est_$t") - col(s"est_${t - 1}")) * lit(t.toDouble))
+      .reduce(_ + _)
+    joined.select(col("id"),
+      (round(harmonic * lit(1e6)) / 1e6).as("harmonic"),
+      (round(sumDist * lit(1e6)) / 1e6).as("sum_dist"))
+  }
+
+  /** [[neighborhoodFunction]] over a precomputed [[sweep]]. */
+  def neighborhoodFunctionFrom(ests: Seq[DataFrame], rounds: Int): DataFrame = {
+    require(ests.length == rounds + 1, s"sweep must carry ${rounds + 1} frames")
+    val nf = ests.zipWithIndex.map { case (df, t) =>
+      df.agg((coalesce(sum(round(col("est") * 1e6).cast("long")), lit(0L)) / 1e6)
+        .as("pairs")).select(lit(t).as("t"), col("pairs"))
+    }.reduce(_ union _)
+    val pmax = nf.where(col("t") === rounds).select(col("pairs").as("pmax"))
+    nf.crossJoin(broadcast(pmax))
+      .select(col("t"), col("pairs"),
+        (round(col("pairs") / col("pmax") * lit(1e6)) / 1e6).as("frac"))
+  }
+
   /** Geometric centralities from the per-round neighborhood function — the
     * actual purpose of HyperBall (Boldi & Vigna 2013, §4): with
     * N(v, t) = |ball_t(v)| estimated per round,
@@ -103,21 +149,7 @@ object HyperBall {
     * aggregation; the final assembly is `rounds` narrow joins on id. */
   def centralities(edges: DataFrame, vertices: DataFrame, rounds: Int,
       p: Int = 6, salt: Long = 42L): DataFrame =
-    graft.kernels.IterTuning.withoutRuntimeFilters(edges.sparkSession) {
-      val ests = estimatesPerRound(edges, vertices, rounds, p, salt)
-      val joined = ests.zipWithIndex
-        .map { case (df, t) => df.select(col("id"), col("est").as(s"est_$t")) }
-        .reduce(_.join(_, Seq("id")))
-      val harmonic = (1 to rounds)
-        .map(t => (col(s"est_$t") - col(s"est_${t - 1}")) / lit(t.toDouble))
-        .reduce(_ + _)
-      val sumDist = (1 to rounds)
-        .map(t => (col(s"est_$t") - col(s"est_${t - 1}")) * lit(t.toDouble))
-        .reduce(_ + _)
-      joined.select(col("id"),
-        (round(harmonic * lit(1e6)) / 1e6).as("harmonic"),
-        (round(sumDist * lit(1e6)) / 1e6).as("sum_dist"))
-    }
+    centralitiesFrom(sweep(edges, vertices, rounds, p, salt), rounds)
 
   /** Global neighborhood function and (discrete) effective diameter — the
     * OTHER HyperBall headline (Boldi & Vigna 2013 §1): pairs(t) =
@@ -129,21 +161,11 @@ object HyperBall {
     * the table hash-exactly. */
   def neighborhoodFunction(edges: DataFrame, vertices: DataFrame, rounds: Int,
       p: Int = 6, salt: Long = 42L): DataFrame =
-    graft.kernels.IterTuning.withoutRuntimeFilters(edges.sparkSession) {
-      val ests = estimatesPerRound(edges, vertices, rounds, p, salt)
-      val nf = ests.zipWithIndex.map { case (df, t) =>
-        df.agg((coalesce(sum(round(col("est") * 1e6).cast("long")), lit(0L)) / 1e6)
-          .as("pairs")).select(lit(t).as("t"), col("pairs"))
-      }.reduce(_ union _)
-      val pmax = nf.where(col("t") === rounds).select(col("pairs").as("pmax"))
-      nf.crossJoin(broadcast(pmax))
-        .select(col("t"), col("pairs"),
-          (round(col("pairs") / col("pmax") * lit(1e6)) / 1e6).as("frac"))
-    }
+    neighborhoodFunctionFrom(sweep(edges, vertices, rounds, p, salt), rounds)
 
-  /** The per-round ball-size estimate frames est_0..est_rounds, each
-    * materialized (small: |V| rows) so the register state backing it can be
-    * freed as the ball advances. */
+  /** The per-round ball-size estimate frames est_0..est_rounds as
+    * (id, est, filled), each materialized (small: |V| rows) so the register
+    * state backing it can be freed as the ball advances. */
   private def estimatesPerRound(edges: DataFrame, vertices: DataFrame,
       rounds: Int, p: Int, salt: Long): Seq[DataFrame] = {
     require(rounds > 0, "rounds must be > 0")
@@ -159,7 +181,6 @@ object HyperBall {
       .localCheckpoint(true)
     def est(): DataFrame =
       graft.functions.Sketch.estimateFrom(state, p, Seq("id"))
-        .select(col("id"), col("est"))
         .localCheckpoint(true)
     val out = Seq.newBuilder[DataFrame]
     out += est()

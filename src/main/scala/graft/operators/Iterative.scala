@@ -99,7 +99,7 @@ object IterativeEngine {
       resume: Boolean = false,
       lineageCutEvery: Int = 1,
       convergenceWindow: Int = 1): Result =
-    graft.kernels.IterTuning.withoutRuntimeFilters(init.sparkSession) {
+    graft.kernels.IterTuning.forLoop(init.sparkSession) {
       runInner(init, superstep, maxIterations, tolerance, checkpointEvery,
         checkpoint, resume, lineageCutEvery, convergenceWindow)
     }
@@ -153,9 +153,24 @@ object IterativeEngine {
     var recent = Vector.fill(math.max(convergenceWindow, 1))(tolerance)
     var maxDiff = tolerance
     val debugTiming = sys.env.get("SPARK_GRAFT_ITER_DEBUG").contains("1")
+    // measurement hook (guide §1.2 / OPTIMIZATION round evidence): when
+    // SPARK_GRAFT_EXPLAIN_DIR is set, the FIRST superstep's formatted plan
+    // is written to <dir>/<job description>_superstep.txt — iterative
+    // operators' returned frames are checkpoint scans, so the per-superstep
+    // plan is the one that carries the Exchange/join-strategy evidence.
+    val explainDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
     while (i < maxIterations && (tolerance < 0 || recent.max >= tolerance)) {
       val t0 = System.nanoTime()
-      val next = materialize(superstep(state, i), i)
+      val stepDf = superstep(state, i)
+      if (i == startIter) explainDir.foreach { d =>
+        val label = Option(spark.sparkContext.getLocalProperty("spark.job.description"))
+          .getOrElse("iterative").replaceAll("[^A-Za-z0-9_.-]", "_")
+        new java.io.File(d).mkdirs()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$d/${label}_superstep.txt"),
+          stepDf.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      }
+      val next = materialize(stepDf, i)
       val tMat = System.nanoTime()
       maxDiff = if (tolerance < 0) Double.NaN else Metrics.maxNorm1(state, next)
       val tNorm = System.nanoTime()

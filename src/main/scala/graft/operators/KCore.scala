@@ -42,7 +42,13 @@ object KCore {
     * replay). Self-loops are dropped; `vertices` supplies isolated ids
     * (coreness 0). */
   def coreness(edges: DataFrame, vertices: DataFrame, rounds: Int,
-      tolerance: Double = 0.5): DataFrame = {
+      tolerance: Double = 0.5): DataFrame =
+    graft.kernels.IterTuning.forLoop(edges.sparkSession) {
+      corenessInner(edges, vertices, rounds, tolerance)
+    }
+
+  private def corenessInner(edges: DataFrame, vertices: DataFrame, rounds: Int,
+      tolerance: Double): DataFrame = {
     require(rounds > 0, "rounds must be > 0")
     // loop-invariant: pre-partition on the join key (dst) once, so the
     // per-round gather join re-shuffles only the state side, not 2|E| rows

@@ -133,7 +133,29 @@ object MonteCarloPpr {
       else col("walkId") + mix31(col("seed"), col("cur"), lit(step), pickSalt(salt))
     if (weighted) {
       val r = pmod(base, col("totw"))
-      (size(filter(col("cws"), c => c <= r)) + 1).cast("int")
+      // the answer is 1 + #{i : cws(i) <= r}. For short adjacency rows a
+      // linear filter wins; hub rows (outdeg >> 64) get an O(log outdeg)
+      // binary search — cws is strictly increasing (positive integer
+      // weights), expressed as a fixed 32-step fold over (lo, hi) with
+      // invariant cws(lo-1) <= r < cws(hi) (0-based; cws(n-1) = totw > r,
+      // so hi = n-1 is valid); converged states are no-ops. Identical
+      // result to the linear scan on every row (VERDICT r6 next #2).
+      val n = size(col("cws"))
+      val linear = size(filter(col("cws"), c => c <= r)) + 1
+      val bsearch = aggregate(
+        sequence(lit(1), lit(32)),
+        struct(lit(0).as("lo"), (n - 1).as("hi")),
+        (acc, _) => {
+          val lo = acc.getField("lo")
+          val hi = acc.getField("hi")
+          val mid = ((lo + hi) / 2).cast("int") // Column `/` is double division; lo+hi >= 0 so the cast truncation is floor
+          val goRight = lo < hi && element_at(col("cws"), mid + 1) <= r
+          val goLeft = lo < hi && element_at(col("cws"), mid + 1) > r
+          struct(when(goRight, mid + 1).otherwise(lo).as("lo"),
+            when(goLeft, mid).otherwise(hi).as("hi"))
+        },
+        acc => acc.getField("lo") + 1)
+      when(n > 64, bsearch).otherwise(linear).cast("int")
     } else (pmod(base, col("outdeg")) + 1).cast("int")
   }
 
@@ -465,11 +487,16 @@ object MonteCarloPpr {
                 val base = if (s == 1) w else w + mix31Scala(seed, cur, s, pSalt)
                 val idx =
                   if (cws == null) (base % dsts.length).toInt
-                  else { // cumulative-weight interval containing r
+                  else { // cumulative-weight interval containing r:
+                    // first i with cws(i) > r via binary search — cws is
+                    // strictly increasing, so a found r sits at j with
+                    // cws(j) = r <= r (answer j+1) and a miss returns the
+                    // insertion point (the first element > r) directly.
+                    // Bit-identical to the linear scan, O(log outdeg) per
+                    // draw instead of O(outdeg) (VERDICT r6 next #2).
                     val r = base % cws(cws.length - 1)
-                    var i = 0
-                    while (cws(i) <= r) i += 1
-                    i
+                    val j = java.util.Arrays.binarySearch(cws, r)
+                    if (j >= 0) j + 1 else -(j + 1)
                   }
                 cur = dsts(idx)
                 mine(cur) = mine.getOrElse(cur, 0L) + 1L

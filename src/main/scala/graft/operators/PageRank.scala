@@ -44,13 +44,33 @@ object PageRank {
   def runWithMetrics(edges: DataFrame, vertices: DataFrame,
       iterations: Int = 100, damping: Double = 0.85,
       tolerance: Double = 1e-6, quantize: Double = 0.0,
-      lineageCutEvery: Int = 1, leakPlan: String = "subquery"): IterativeEngine.Result = {
+      lineageCutEvery: Int = 1, leakPlan: String = "subquery"): IterativeEngine.Result =
+    // forLoop scope covers the adjacency persist too: a cached plan
+    // compiled under AQE reports opaque output partitioning, defeating the
+    // loop's co-partitioned join (IterTuning.forLoop scaladoc)
+    graft.kernels.IterTuning.forLoop(edges.sparkSession) {
+      runInner(edges, vertices, iterations, damping, tolerance, quantize,
+        lineageCutEvery, leakPlan)
+    }
+
+  private def runInner(edges: DataFrame, vertices: DataFrame,
+      iterations: Int, damping: Double,
+      tolerance: Double, quantize: Double,
+      lineageCutEvery: Int, leakPlan: String): IterativeEngine.Result = {
     val spark = edges.sparkSession
-    val n = vertices.count()
-    if (n == 0)
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // the teleport base re-reads `vertices` EVERY superstep — persist the
+    // |V|-row id projection once instead of re-running the vertex-closure
+    // aggregation (2 scans + 3 exchanges per superstep at bench scale;
+    // plans/r07/sup_before/q_pagerank_superstep.txt) (guide §2.4)
+    val verts = vertices.select(col("id")).persist()
+    val n = verts.count()
+    if (n == 0) {
+      verts.unpersist()
       return IterativeEngine.Result(
         vertices.select(lit(0L).as("seed"), col("id").as("node"), lit(0.0).as("score")),
         Vector.empty)
+    }
 
     // WEIGHTED variant (anchor-text / link-frequency weights on a web
     // graph): if the edge relation carries a `weight` column, the push
@@ -62,18 +82,26 @@ object PageRank {
     val srcNorm =
       if (weighted) pos.groupBy(col("src")).agg(sum(col("weight")).as("norm"))
       else pos.groupBy(col("src")).agg(count(lit(1)).as("norm"))
+    // adjacency hash-partitioned on the gather key ONCE (guide §2.4): the
+    // state side keeps hash(node) partitioning across supersteps (the
+    // groupBy(node) output partitioning survives Spark 4's localCheckpoint),
+    // so the per-superstep gather join inserts NO exchange on either side.
+    // The SHUFFLE_HASH hint keeps the planner from broadcasting the
+    // adjacency (the |E|-sized side — re-serialized every superstep, and
+    // the side that can never broadcast at 100 TB).
     val adj = pos.join(srcNorm, "src")
       .select(col("src"), col("dst"),
         (if (weighted) lit(damping) * col("weight") / col("norm")
          else lit(damping) / col("norm")).as("factor"))
+      .repartition(shufflePartitions, col("src"))
       .persist()
     // dangling (no positive-outgoing-mass) vertex set, computed once — the
     // per-superstep leak aggregate only semi-joins against THIS (usually
     // small) relation instead of the full degree table
-    val dangling = vertices.join(srcNorm, vertices("id") === srcNorm("src"), "left_anti")
+    val dangling = verts.join(srcNorm, verts("id") === srcNorm("src"), "left_anti")
       .select(col("id")).persist()
 
-    val init = vertices.select(lit(0L).as("seed"), col("id").as("node"),
+    val init = verts.select(lit(0L).as("seed"), col("id").as("node"),
       lit(1.0 / n).as("score"))
 
     // sum that (when quantize > 0) is addend-order-free and oracle-exact
@@ -90,14 +118,14 @@ object PageRank {
           // of cached blocks; keeps the main plan free of subquery/crossJoin
           // nodes at the cost of a driver sync (see Scaladoc: within noise)
           val leak = leakAgg.head().getDouble(0)
-          vertices.select(col("id").as("node"),
+          verts.select(col("id").as("node"),
             lit((1.0 - damping) / n + damping / n * leak).as("score"))
         } else {
-          vertices.crossJoin(broadcast(leakAgg))
+          verts.crossJoin(broadcast(leakAgg))
             .select(col("id").as("node"),
               (lit((1.0 - damping) / n) + lit(damping / n) * col("leak")).as("score"))
         }
-      val contribs = state.join(adj, state("node") === adj("src"))
+      val contribs = state.join(adj.hint("shuffle_hash"), state("node") === adj("src"))
         .select(col("dst").as("node"), (col("score") * col("factor")).as("score"))
       base.union(contribs)
         .groupBy(col("node"))
@@ -107,7 +135,7 @@ object PageRank {
 
     val res = IterativeEngine.run(init, superstep, iterations, tolerance,
       lineageCutEvery = lineageCutEvery)
-    adj.unpersist(); dangling.unpersist()
+    adj.unpersist(); dangling.unpersist(); verts.unpersist()
     res
   }
 }

@@ -49,7 +49,20 @@ object PushPpr {
       damping: Double = 0.85,
       tolerance: Double = -1,
       quantize: Double = 0.0,
-      lineageCutEvery: Int = 1): IterativeEngine.Result = {
+      lineageCutEvery: Int = 1): IterativeEngine.Result =
+    graft.kernels.IterTuning.forLoop(edges.sparkSession) {
+      runInner(edges, seeds, rmax, iterations, damping, tolerance, quantize, lineageCutEvery)
+    }
+
+  private def runInner(
+      edges: DataFrame,
+      seeds: DataFrame,
+      rmax: Double,
+      iterations: Int,
+      damping: Double,
+      tolerance: Double,
+      quantize: Double,
+      lineageCutEvery: Int): IterativeEngine.Result = {
     require(rmax > 0, "rmax must be > 0")
     require(iterations > 0, "iterations must be > 0")
     require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
