@@ -175,11 +175,46 @@ object Dedup {
     res
   }
 
-  /** Exact shingle-set Jaccard verification of candidate pairs. */
+  /** Exact shingle-set Jaccard verification of candidate pairs.
+    *
+    * Intersection/union run over the 8-byte shingle HASHES (r7): the two
+    * verify joins ship long arrays instead of k-token string arrays (~4-5x
+    * fewer bytes per candidate, guide §2.3) and the set ops hash 8-byte
+    * values — |A∩B| and |A∪B| are unchanged because distinct strings map
+    * to distinct hashes (64-bit xxhash64; a collision within one pair's
+    * ~10^2-shingle universe is a ~1e-15 event), so the jaccard VALUES and
+    * the thresholded pair set are identical. */
   private def verifyJaccard(cand: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
-    val a = shingled.select(col("id").as("id_a"), array_distinct(col("sh")).as("sha"))
-    val b = shingled.select(col("id").as("id_b"), array_distinct(col("sh")).as("shb"))
-    cand.join(a, "id_a").join(b, "id_b")
+    val hashedSet = array_distinct(transform(array_distinct(col("sh")), s => xxhash64(s)))
+    // SIZE FILTER (the SSJoin length filter, exact): J(A,B) <= min/max, so
+    // a candidate with min(|A|,|B|) < threshold * max(|A|,|B|) can never
+    // verify — drop it on a NARROW (id, set-size) join before any
+    // shingle-hash array is attached (DedupPhaseBench measured 9.5M
+    // candidates whose two ~10^2-element arrays otherwise ride both
+    // verify shuffles; guide §2.3 "shuffle keys and metadata instead of
+    // payloads"). Kept pairs satisfy min >= t*max, so no qualifying pair
+    // is lost; threshold 0 keeps everything.
+    val sizes = shingled.select(col("id"), size(hashedSet).as("n"))
+    val candS =
+      if (threshold <= 0) cand
+      else cand
+        .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+        .where(least(col("na"), col("nb")).cast("double") >=
+          lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
+        .select(col("id_a"), col("id_b"))
+    // Attach the two hash arrays WITHOUT shipping them through a shuffle
+    // when the per-doc fingerprint table fits a broadcast (guide §3.1 /
+    // §8: the candidate stream is the big side — millions of 16-byte
+    // pairs — and the array payloads should move once, not once per
+    // candidate). Guarded: above ~200k docs (the per-shard verification
+    // case is far below) fall back to the shuffle joins; at true corpus
+    // scale verification is sharded by the banding/cap machinery anyway.
+    val docCount = shingled.count() // callers persist `shingled` first
+    val a = shingled.select(col("id").as("id_a"), hashedSet.as("sha"))
+    val b = shingled.select(col("id").as("id_b"), hashedSet.as("shb"))
+    val (aJ, bJ) = if (docCount <= 200000) (broadcast(a), broadcast(b)) else (a, b)
+    candS.join(aJ, "id_a").join(bJ, "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))

@@ -84,6 +84,14 @@ object MonteCarloPpr {
   private[graft] def survivalSalt(salt: Long): Long = salt * 7919L + 1234567L
   private[graft] def pickSalt(salt: Long): Long = salt * 7919L + 7654321L
 
+  /** A/B gate for the weighted successor draw (default: binary search; the
+    * two paths pick IDENTICAL successors — WeightedHubBench measures them
+    * against each other on a 10^4-outdeg hub and the numbers land in
+    * BASELINE.md). Read at plan/closure build time. */
+  private[graft] def linearWeightedPick: Boolean =
+    sys.props.getOrElse("graft.wpick",
+      sys.env.getOrElse("SPARK_GRAFT_WPICK", "auto")) == "linear"
+
   /** Weight contract for the walk family (VERDICT r5 next #4): a `weight`
     * edge column switches every successor draw from uniform to
     * weight-proportional via an INTEGER cumulative-weight pick — adjacency
@@ -142,6 +150,7 @@ object MonteCarloPpr {
       // result to the linear scan on every row (VERDICT r6 next #2).
       val n = size(col("cws"))
       val linear = size(filter(col("cws"), c => c <= r)) + 1
+      if (linearWeightedPick) return linear.cast("int")
       val bsearch = aggregate(
         sequence(lit(1), lit(32)),
         struct(lit(0).as("lo"), (n - 1).as("hi")),
@@ -463,6 +472,7 @@ object MonteCarloPpr {
     val bc = spark.sparkContext.broadcast(amap)
     val sSalt = survivalSalt(salt)
     val pSalt = pickSalt(salt)
+    val linearPick = linearWeightedPick // captured driver-side into the closure
     // spread origins over the full task width — walk cost is proportional to
     // origins-per-task, and the upstream origins frame may sit in few
     // partitions (e.g. a 2-file parquet scan)
@@ -495,8 +505,14 @@ object MonteCarloPpr {
                     // Bit-identical to the linear scan, O(log outdeg) per
                     // draw instead of O(outdeg) (VERDICT r6 next #2).
                     val r = base % cws(cws.length - 1)
-                    val j = java.util.Arrays.binarySearch(cws, r)
-                    if (j >= 0) j + 1 else -(j + 1)
+                    if (linearPick) {
+                      var i = 0
+                      while (cws(i) <= r) i += 1
+                      i
+                    } else {
+                      val j = java.util.Arrays.binarySearch(cws, r)
+                      if (j >= 0) j + 1 else -(j + 1)
+                    }
                   }
                 cur = dsts(idx)
                 mine(cur) = mine.getOrElse(cur, 0L) + 1L
