@@ -33,7 +33,12 @@ object IterTuning {
     * settings afterwards; one-shot queries keep AQE. */
   def forLoop[T](spark: SparkSession)(body: => T): T =
     scoped(spark, BloomKey, "false") {
-      scoped(spark, AqeKey, "false")(body)
+      // A/B escape hatch (measurement only): SPARK_GRAFT_LOOP_AQE=1 keeps
+      // AQE on inside loops — used to verify per-operator that the AQE-off
+      // scope helps (it does for the big superstep loops; SCC's tiny
+      // sub-second rounds measured FASTER with AQE coalescing and keep it).
+      if (sys.env.get("SPARK_GRAFT_LOOP_AQE").contains("1")) body
+      else scoped(spark, AqeKey, "false")(body)
     }
 
   /** Spark 4 injects runtime bloom-filter joins by default

@@ -27,7 +27,7 @@ object ExactPpr {
       iterations: Int = 100,
       damping: Double = 0.85,
       tolerance: Double = 1e-4,
-      quantize: Double = 0.0): DataFrame = graft.kernels.IterTuning.forLoop(edges.sparkSession) {
+      quantize: Double = 0.0): DataFrame = graft.kernels.IterTuning.withoutRuntimeFilters(edges.sparkSession) {
     require(iterations > 0, "iterations must be > 0")
     require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
 
@@ -69,7 +69,7 @@ object ExactPpr {
       iterations: Int = 100,
       damping: Double = 0.85,
       tolerance: Double = 1e-4,
-      quantize: Double = 0.0): DataFrame = graft.kernels.IterTuning.forLoop(edges.sparkSession) {
+      quantize: Double = 0.0): DataFrame = graft.kernels.IterTuning.withoutRuntimeFilters(edges.sparkSession) {
     require(iterations > 0, "iterations must be > 0")
     require(damping >= 0 && damping <= 1, "damping must be between 0 and 1")
     val adj = adjacency(edges, damping).persist()

@@ -178,8 +178,13 @@ object GRank {
 
     def prune(combined: DataFrame): DataFrame =
       if (cfg.topLStrategy == "window")
-        // single-exchange path: repartition(seed) once; agg + rank reuse it
-        TopK.pruneTopLAligned(combined, cfg.L, shufflePartitions, cfg.quantize)
+        if (sys.props.get("graft.grank.prune").contains("agg2"))
+          // A/B leg: partial-aggregate before the exchange (2 smaller
+          // exchanges) instead of one raw-row exchange — GrankPruneBench
+          TopK.pruneTopL(combined, cfg.L, "window", cfg.quantize)
+        else
+          // single-exchange path: repartition(seed) once; agg + rank reuse it
+          TopK.pruneTopLAligned(combined, cfg.L, shufflePartitions, cfg.quantize)
       else
         TopK.pruneTopL(combined, cfg.L, cfg.topLStrategy)
 

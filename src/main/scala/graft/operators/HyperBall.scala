@@ -91,7 +91,7 @@ object HyperBall {
     * instead of three. */
   def sweep(edges: DataFrame, vertices: DataFrame, rounds: Int,
       p: Int = 6, salt: Long = 42L): Seq[DataFrame] =
-    graft.kernels.IterTuning.forLoop(edges.sparkSession) {
+    graft.kernels.IterTuning.withoutRuntimeFilters(edges.sparkSession) {
       estimatesPerRound(edges, vertices, rounds, p, salt)
     }
 

@@ -99,7 +99,7 @@ object IterativeEngine {
       resume: Boolean = false,
       lineageCutEvery: Int = 1,
       convergenceWindow: Int = 1): Result =
-    graft.kernels.IterTuning.forLoop(init.sparkSession) {
+    graft.kernels.IterTuning.withoutRuntimeFilters(init.sparkSession) {
       runInner(init, superstep, maxIterations, tolerance, checkpointEvery,
         checkpoint, resume, lineageCutEvery, convergenceWindow)
     }

@@ -562,6 +562,16 @@ object MonteCarloPpr {
     if (visitAgg != null) IterativeEngine.freeCheckpointBlocks(visitAgg)
 
     // ---- phase 2: one gather superstep over walk baskets (:211-250) -----
+    // combine prune: under the "window" strategy use the ALIGNED shape —
+    // one repartition(seed) reused by the (seed,node) sum, the top-L rank
+    // AND the final top-K rank (GrankPruneBench measured aligned 10.0 s vs
+    // agg-then-window 13.9-14.7 s interleaved on the same gather volume)
+    val shufflePartitions = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    def combinePrune(df: DataFrame): DataFrame =
+      if (cfg.topLStrategy == "window")
+        TopK.pruneTopLAligned(df, cfg.L, shufflePartitions, cfg.quantize)
+      else TopK.pruneTopL(df, cfg.L, cfg.topLStrategy, cfg.quantize)
     val combined = if (ewOpt.isDefined) {
       val ew = ewOpt.get // the run-wide persisted (src,dst,w) aggregation
       val ws = ew.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
@@ -572,7 +582,7 @@ object MonteCarloPpr {
       val succRows = edgeFactor.join(walkBaskets, edgeFactor("dst") === walkBaskets("seed"))
         .select(edgeFactor("src").as("seed"), col("node"),
           (col("score") * col("efactor")).as("score"))
-      TopK.pruneTopL(selfRows.union(succRows), cfg.L, cfg.topLStrategy, cfg.quantize)
+      combinePrune(selfRows.union(succRows))
     } else {
       val factor = vertices.join(adjList, vertices("id") === adjList("src"), "left")
         .select(col("id"),
@@ -582,7 +592,7 @@ object MonteCarloPpr {
         (lit(1.0) / col("factor")).as("score"))
       val succRows = edges.join(walkBaskets, edges("dst") === walkBaskets("seed"))
         .select(edges("src").as("seed"), col("node"), col("score"))
-      TopK.pruneTopL(selfRows.union(succRows), cfg.L, cfg.topLStrategy, cfg.quantize)
+      combinePrune(selfRows.union(succRows))
         .join(factor.withColumnRenamed("id", "seed"), Seq("seed"))
         .select(col("seed"), col("node"), (col("score") * col("factor")).as("score"))
     }

@@ -50,7 +50,7 @@ object PushPpr {
       tolerance: Double = -1,
       quantize: Double = 0.0,
       lineageCutEvery: Int = 1): IterativeEngine.Result =
-    graft.kernels.IterTuning.forLoop(edges.sparkSession) {
+    graft.kernels.IterTuning.withoutRuntimeFilters(edges.sparkSession) {
       runInner(edges, seeds, rmax, iterations, damping, tolerance, quantize, lineageCutEvery)
     }
 
