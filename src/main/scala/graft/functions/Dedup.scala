@@ -71,12 +71,43 @@ object Dedup {
       .select(col("id").as(idCol), col("comp").as("canonical"))
 
   /** Word k-shingles (token n-grams) of the text. */
-  def tokenShingles(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def tokenShingles(text: Column, k: Int = 3): Column =
+    tokenShinglesOf(TextAnalysis.tokens(text), k)
+
+  /** [[tokenShingles]] over an already-tokenized column — hot paths hoist
+    * tokenization into its own projection first (see
+    * [[tokenShingleHashesOf]] for why: no CSE inside HOF lambdas). */
+  def tokenShinglesOf(toks: Column, k: Int = 3): Column =
     when(size(toks) <= k, array(array_join(toks, " ")))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
-  }
+
+  /** 8-byte hashes of the word k-shingles WITHOUT materializing the shingle
+    * strings (r7): a window hashes its k tokens directly
+    * (xxhash64(t_i..t_{i+k-1})), skipping the per-position array_join that
+    * dominated the shingling pass. Hash-faithful to [[tokenShingles]]'s
+    * string sets: distinct windows ⇔ distinct token tuples ⇔ distinct
+    * hashes (64-bit collisions aside), and the ≤k branch (one shingle =
+    * all tokens joined) hashes the joined string — a k-window string
+    * always contains exactly k-1 spaces, so the two branches can never
+    * denote the same string shingle and their hash spaces never need to
+    * agree. Set sizes, df counts and intersections over these hashes
+    * therefore equal the string-set values. */
+  def tokenShingleHashes(text: Column, k: Int = 3): Column =
+    tokenShingleHashesOf(TextAnalysis.tokens(text), k)
+
+  /** [[tokenShingleHashes]] over an ALREADY-TOKENIZED column. Callers on a
+    * hot path must hoist tokenization into its own projection
+    * (`.withColumn("toks", TextAnalysis.tokens(...))`) and pass
+    * `col("toks")`: expressions inside higher-order-function lambdas get
+    * no common-subexpression elimination, so a `toks` that is itself the
+    * tokenizer regexp would re-run the regexp for EVERY element_at
+    * reference (measured ~3x the whole shingling pass); a hoisted
+    * attribute is materialized once per row. */
+  def tokenShingleHashesOf(toks: Column, k: Int = 3): Column =
+    when(size(toks) <= k, array(xxhash64(array_join(toks, " "))))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => xxhash64((1 to k).map(j => element_at(toks, i + j)): _*)))
 
   /** MinHash signature: `perms` permutations simulated as seeded xxhash64;
     * one array column, computed in a single pass over the shingle array. */
@@ -102,11 +133,11 @@ object Dedup {
     // banding's false-negative pattern shifts, and the exact verify keeps
     // precision unchanged (recall is test-gated).
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("t"))
-      .withColumn("sh", tokenShingles(col("t"), shingleK))
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("toks", TextAnalysis.tokens(col("t"))) // hoisted: see tokenShingleHashesOf
+      .withColumn("hs", tokenShingleHashesOf(col("toks"), shingleK))
       .withColumn("sig", transform(sequence(lit(0), lit(bands * rowsPerBand - 1)),
         p => coalesce(array_min(transform(col("hs"), h => xxhash64(h, p))), lit(Long.MaxValue))))
-      .drop("hs")
+      .select(col("id"), col("hs"), col("sig"))
       .persist()
     val banded = withSig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
@@ -120,7 +151,8 @@ object Dedup {
     // materialize before releasing the signature cache (result is candidate-
     // bounded and small; the cache would otherwise pin executor memory for
     // the session's lifetime)
-    val res = verifyJaccard(cand, withSig.select(col("id"), col("sh")), threshold)
+    val res = verifyJaccardHashed(cand,
+        withSig.select(col("id"), array_distinct(col("hs")).as("hset")), threshold)
       .localCheckpoint(true)
     withSig.unpersist()
     res
@@ -150,7 +182,9 @@ object Dedup {
       threshold: Double = 0.7, salt: Long = 42L): DataFrame = {
     val perms = bands * rowsPerBand
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("t"))
-      .withColumn("sh", array_distinct(tokenShingles(col("t"), shingleK)))
+      .withColumn("toks", TextAnalysis.tokens(col("t"))) // hoisted: see tokenShingleHashesOf
+      .withColumn("sh", array_distinct(tokenShinglesOf(col("toks"), shingleK)))
+      .drop("toks")
       // hash each distinct shingle ONCE; permutations then mix the 8-byte
       // hash, not the string (perms * |sh| cheap mixes, one char fold)
       .withColumn("hs", transform(col("sh"), s => polyHash(s)))
@@ -184,8 +218,16 @@ object Dedup {
     * to distinct hashes (64-bit xxhash64; a collision within one pair's
     * ~10^2-shingle universe is a ~1e-15 event), so the jaccard VALUES and
     * the thresholded pair set are identical. */
-  private def verifyJaccard(cand: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
-    val hashedSet = array_distinct(transform(array_distinct(col("sh")), s => xxhash64(s)))
+  private def verifyJaccard(cand: DataFrame, shingled: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardHashed(cand,
+      shingled.select(col("id"),
+        array_distinct(transform(array_distinct(col("sh")), s => xxhash64(s))).as("hset")),
+      threshold)
+
+  /** [[verifyJaccard]] over PRE-HASHED distinct shingle sets (id, hset
+    * ARRAY<LONG>) — callers that already carry shingle hashes skip the
+    * re-hash projection. */
+  private def verifyJaccardHashed(cand: DataFrame, hsets: DataFrame, threshold: Double): DataFrame = {
     // SIZE FILTER (the SSJoin length filter, exact): J(A,B) <= min/max, so
     // a candidate with min(|A|,|B|) < threshold * max(|A|,|B|) can never
     // verify — drop it on a NARROW (id, set-size) join before any
@@ -194,7 +236,7 @@ object Dedup {
     // verify shuffles; guide §2.3 "shuffle keys and metadata instead of
     // payloads"). Kept pairs satisfy min >= t*max, so no qualifying pair
     // is lost; threshold 0 keeps everything.
-    val sizes = shingled.select(col("id"), size(hashedSet).as("n"))
+    val sizes = hsets.select(col("id"), size(col("hset")).as("n"))
     val candS =
       if (threshold <= 0) cand
       else cand
@@ -210,9 +252,9 @@ object Dedup {
     // candidate). Guarded: above ~200k docs (the per-shard verification
     // case is far below) fall back to the shuffle joins; at true corpus
     // scale verification is sharded by the banding/cap machinery anyway.
-    val docCount = shingled.count() // callers persist `shingled` first
-    val a = shingled.select(col("id").as("id_a"), hashedSet.as("sha"))
-    val b = shingled.select(col("id").as("id_b"), hashedSet.as("shb"))
+    val docCount = hsets.count() // callers persist the backing frame first
+    val a = hsets.select(col("id").as("id_a"), col("hset").as("sha"))
+    val b = hsets.select(col("id").as("id_b"), col("hset").as("shb"))
     val (aJ, bJ) = if (docCount <= 200000) (broadcast(a), broadcast(b)) else (a, b)
     candS.join(aJ, "id_a").join(bJ, "id_b")
       .select(col("id_a"), col("id_b"),
@@ -229,22 +271,24 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
       maxShingleFreq: Int = 1000): DataFrame = {
+    // the whole pipeline runs on 8-byte shingle HASHES, never shingle
+    // strings (r7, two steps): [[tokenShingleHashes]] skips the per-window
+    // array_join string build entirely, and the inverted index / df cap /
+    // candidate self-join / exact verify all operate on the hashes —
+    // hash-faithful throughout (per-hash df = per-string df, identical
+    // candidate pairs and jaccard values, 64-bit collisions aside).
     val shingled = df.select(col(idCol).as("id"),
-      array_distinct(tokenShingles(col(textCol), shingleK)).as("sh")).persist()
-    // inverted index over the 8-byte shingle HASH, not the shingle string
-    // (r7): the df-count aggregation and the candidate self-join shuffle
-    // ~4x fewer bytes, and both are hash-faithful — per-hash df equals
-    // per-string df and candidate pairs are identical (64-bit collisions
-    // aside), with the exact string-set verify unchanged downstream.
-    val inv = shingled.select(col("id"), explode(col("sh")).as("s0"))
-      .select(col("id"), xxhash64(col("s0")).as("s"))
+        TextAnalysis.tokens(col(textCol)).as("toks")) // hoisted: see tokenShingleHashesOf
+      .select(col("id"), array_distinct(tokenShingleHashesOf(col("toks"), shingleK)).as("hset"))
+      .persist()
+    val inv = shingled.select(col("id"), explode(col("hset")).as("s"))
     val rare = inv.groupBy("s").agg(count(lit(1)).as("df_s"))
       .where(col("df_s") <= maxShingleFreq).select("s")
     val invR = inv.join(rare, "s")
     val cand = invR.as("x").join(invR.as("y"),
       col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val res = verifyJaccard(cand, shingled, threshold).localCheckpoint(true)
+    val res = verifyJaccardHashed(cand, shingled, threshold).localCheckpoint(true)
     shingled.unpersist()
     res
   }
